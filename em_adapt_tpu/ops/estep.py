@@ -1,0 +1,166 @@
+"""Adaptive-bias E-step as a pure JAX function (runs on device, inside jit).
+
+The reference executes this algorithm on the host inside a ``tf.py_func``
+(reference deeplab.py:120), paying a device->host->device round trip under
+the GIL every step. Here it is a pure function of (scores, label, orders)
+traced straight into the train step, so XLA fuses it with the loss and no
+host transfer exists.
+
+Semantics are specified by :func:`em_adapt_tpu.ops.estep_oracle.estep_oracle`
+(itself an exact re-derivation of reference estep.py:33-84) and enforced by
+golden tests: the channel-argmax label maps are pixel-identical, and the
+biased score maps match to float tolerance (the only arithmetic difference
+is the reduction order of the per-image means used for the final constant
+shift, which cannot change an argmax).
+
+Design notes (TPU):
+* The class-visit schedule is data: a [num_iter, C] int32 array with
+  background pinned first (reference estep.py:64-66), so the sequential
+  bias loop is ONE ``lax.fori_loop`` of num_iter*C trips with no dynamic
+  python control flow.
+* The k-th order statistic ``np.partition(diff, k)[k]`` (reference
+  estep.py:73-76) is a full ``jnp.sort`` over the H*W pixels; both the bg
+  and fg ranks are read from the same sorted array and selected by the
+  traced class id, avoiding a data-dependent branch.
+* Absent classes are handled branchlessly: their threshold is multiplied by
+  the 0/1 tag, so the channel update is the identity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from em_adapt_tpu.config import EStepConfig
+
+
+def derive_tags(label: jax.Array, num_classes: int) -> jax.Array:
+    """Image-level tag matrix [B, C] in {0,1} from mask [B, H, W].
+
+    Matches the oracle's uint8-cast + ``value < C`` filter
+    (reference estep.py:35-44): the 255 ignore label survives the uint8
+    cast and is dropped by the range check.
+    """
+    lab = label.astype(jnp.uint8).astype(jnp.int32)  # [B,H,W]
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    hits = lab[..., None] == classes  # [B,H,W,C]
+    return jnp.any(hits, axis=(1, 2)).astype(jnp.float32)  # [B,C]
+
+
+def suppress_absent(scores: jax.Array, tags: jax.Array, margin: float) -> jax.Array:
+    """Clamp absent-class scores above the per-pixel present-class min.
+
+    Exact vectorization of reference estep.py:46-55 (including its use of
+    the *global batch max* to lift absent channels before the channel-min).
+    """
+    present = tags[:, None, None, :] > 0  # [B,1,1,C]
+    gmax = jnp.max(scores)
+    lifted = scores + jnp.where(present, jnp.float32(0), gmax)
+    present_min = jnp.min(lifted, axis=3, keepdims=True)  # [B,H,W,1]
+    clamp = (~present) & (scores > present_min)
+    return jnp.where(clamp, present_min - jnp.float32(margin), scores)
+
+
+def make_class_orders(key: jax.Array, num_iter: int, num_classes: int) -> jax.Array:
+    """[num_iter, C-1] foreground class permutations (values in 1..C-1).
+
+    Replaces the reference's global-RNG ``random.shuffle``
+    (reference estep.py:64-66) with explicit PRNG keys.
+    """
+    fg = jnp.arange(1, num_classes, dtype=jnp.int32)
+    keys = jax.random.split(key, num_iter)
+    return jnp.stack([jax.random.permutation(k, fg) for k in keys])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bg_p", "fg_p", "num_iter", "suppress_others", "margin_others"),
+)
+def estep(
+    scores: jax.Array,
+    label: jax.Array,
+    orders: jax.Array,
+    *,
+    bg_p: float = 0.4,
+    fg_p: float = 0.2,
+    num_iter: int = 5,
+    suppress_others: bool = True,
+    margin_others: float = 1e-5,
+) -> jax.Array:
+    """Adaptive-bias E-step on device. See module docstring.
+
+    Args:
+      scores: [B, H, W, C] float32 score map.
+      label: [B, H, W] ground-truth mask at score-map resolution.
+      orders: [num_iter, C-1] int32 foreground visit order per round.
+
+    Returns:
+      [B, H, W, C] float32 biased score map (gradients should not flow:
+      wrap with ``lax.stop_gradient`` — see :func:`estep_labels`).
+    """
+    f = scores.astype(jnp.float32)
+    b, h, w, c = f.shape
+    if orders.shape != (num_iter, c - 1):
+        raise ValueError(
+            f"orders must have shape (num_iter={num_iter}, C-1={c - 1}), "
+            f"got {orders.shape}; build it with make_class_orders()"
+        )
+    tags = derive_tags(label, c)  # [B,C] float32
+
+    if suppress_others:
+        f = suppress_absent(f, tags, margin_others)
+
+    before = jnp.mean(jnp.max(f, axis=3), axis=(1, 2))  # [B]
+    k_bg = int(h * w * bg_p)
+    k_fg = int(h * w * fg_p)
+
+    # visit[t] for t in [0, num_iter*C): class id visited at step t,
+    # background first each round (reference estep.py:64-66).
+    bg = jnp.zeros((num_iter, 1), dtype=jnp.int32)
+    visit = jnp.concatenate([bg, orders.astype(jnp.int32)], axis=1).reshape(-1)
+
+    def body(t, f):
+        j = visit[t]
+        ch = jnp.take(f, j, axis=3)  # [B,H,W]
+        diff = (jnp.max(f, axis=3) - ch).reshape(b, h * w)
+        srt = jnp.sort(diff, axis=1)
+        th = jnp.where(j == 0, srt[:, k_bg], srt[:, k_fg])  # [B]
+        th = th * tags[:, j]  # absent class -> +0 (identity update)
+        return f.at[:, :, :, j].add(th[:, None, None])
+
+    f = jax.lax.fori_loop(0, num_iter * c, body, f)
+
+    after = jnp.mean(jnp.max(f, axis=3), axis=(1, 2))
+    return f + (before - after)[:, None, None, None]
+
+
+def estep_labels(
+    scores: jax.Array,
+    label: jax.Array,
+    orders: jax.Array,
+    cfg: EStepConfig,
+) -> jax.Array:
+    """Weak label map [B, H, W] int32 = argmax of the biased score map.
+
+    The reference takes the channel argmax of the py_func output
+    (reference deeplab.py:122-123); py_func has no gradient, which we make
+    explicit with ``stop_gradient``.
+    """
+    if cfg.impl == "pallas":
+        from em_adapt_tpu.ops.estep_pallas import estep_pallas as impl
+    else:
+        impl = estep
+    biased = impl(
+        scores,
+        label,
+        orders,
+        bg_p=cfg.bg_p,
+        fg_p=cfg.fg_p,
+        num_iter=cfg.num_iter,
+        suppress_others=cfg.suppress_others,
+        margin_others=cfg.margin_others,
+    )
+    biased = jax.lax.stop_gradient(biased)
+    return jnp.argmax(biased, axis=3).astype(jnp.int32)

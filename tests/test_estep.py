@@ -1,0 +1,133 @@
+"""E-step correctness: numpy oracle and JAX implementation vs the golden
+fixtures generated from the upstream reference's estep_py
+(tests/fixtures/generate_goldens.py), plus algorithmic property tests.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from em_adapt_tpu.ops.estep import (  # noqa: E402
+    derive_tags as derive_tags_jax,
+    estep as estep_jax,
+    make_class_orders,
+)
+from em_adapt_tpu.ops.estep_oracle import derive_tags, estep_oracle  # noqa: E402
+
+FIXTURES = sorted(
+    glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "estep_*.npz"))
+)
+
+
+def load(path):
+    z = np.load(path)
+    kw = dict(
+        bg_p=float(z["bg_p"]),
+        fg_p=float(z["fg_p"]),
+        num_iter=int(z["num_iter"]),
+        suppress_others=bool(z["suppress"]),
+        margin_others=float(z["margin"]),
+    )
+    return z["scores"], z["label"], z["orders"], z["out"], kw
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=[os.path.basename(p) for p in FIXTURES])
+def test_oracle_bitexact_vs_reference(path):
+    scores, label, orders, expected, kw = load(path)
+    got = estep_oracle(scores, label, orders=orders, **kw)
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=[os.path.basename(p) for p in FIXTURES])
+def test_jax_matches_reference(path):
+    scores, label, orders, expected, kw = load(path)
+    got = np.asarray(estep_jax(jnp.asarray(scores), jnp.asarray(label), jnp.asarray(orders), **kw))
+    # Label maps (channel argmax) must be pixel-exact.
+    np.testing.assert_array_equal(got.argmax(axis=3), expected.argmax(axis=3))
+    # Values match to float tolerance (the final constant shift's mean
+    # reduction order is the only arithmetic difference).
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=0)
+
+
+def test_jax_matches_oracle_random_orders(rng):
+    """Random shapes/orders beyond the committed fixtures."""
+    for (b, h, w, c) in [(1, 5, 7, 4), (4, 9, 9, 8), (2, 41, 41, 21)]:
+        scores = rng.normal(size=(b, h, w, c)).astype(np.float32)
+        label = rng.integers(0, c + 2, size=(b, h, w)).astype(np.float32)
+        label[label >= c] = 255.0
+        orders = np.stack([rng.permutation(np.arange(1, c)) for _ in range(3)]).astype(np.int32)
+        want = estep_oracle(scores, label, orders=orders, num_iter=3)
+        got = np.asarray(
+            estep_jax(jnp.asarray(scores), jnp.asarray(label), jnp.asarray(orders), num_iter=3)
+        )
+        np.testing.assert_array_equal(got.argmax(3), want.argmax(3))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
+
+def test_tags_ignore_label(rng):
+    label = np.full((2, 6, 6), 255.0, dtype=np.float32)
+    label[0, 0, 0] = 3
+    label[1, :, :] = 0
+    tags = derive_tags(label, 5)
+    assert tags[0].tolist() == [0, 0, 0, 1, 0]
+    assert tags[1].tolist() == [1, 0, 0, 0, 0]
+    jt = np.asarray(derive_tags_jax(jnp.asarray(label), 5))
+    np.testing.assert_array_equal(jt, tags.astype(np.float32))
+
+
+def test_bias_selects_expected_pixel_fraction(rng):
+    """After one round, ~rho*H*W pixels should prefer each present class."""
+    b, h, w, c = 1, 16, 16, 3
+    scores = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    label = np.zeros((b, h, w), dtype=np.float32)
+    label[:, :8] = 1  # classes {0, 1} present
+    orders = np.array([[1, 2]], dtype=np.int32)
+    out = estep_oracle(
+        scores, label, orders=orders, num_iter=1, bg_p=0.4, fg_p=0.2
+    )
+    pred = out.argmax(3)
+    # Class 2 is absent: it must never win.
+    assert not (pred == 2).any()
+    # Class 1 (visited last, rank int(256*0.2)=51) gets at least its quota.
+    assert (pred == 1).sum() >= 51
+
+
+def test_recentering_preserves_mean_max(rng):
+    scores = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    label = rng.integers(0, 4, size=(2, 8, 8)).astype(np.float32)
+    orders = np.stack([rng.permutation(np.arange(1, 4)) for _ in range(2)])
+    out = estep_oracle(scores, label, orders=orders, num_iter=2)
+    # mean-of-per-pixel-max is preserved vs post-suppression map
+    from em_adapt_tpu.ops.estep_oracle import suppress_absent
+
+    sup = suppress_absent(scores, derive_tags(label, 4), 1e-5)
+    np.testing.assert_allclose(
+        out.max(3).mean((1, 2)), sup.max(3).mean((1, 2)), atol=1e-4
+    )
+
+
+def test_make_class_orders():
+    orders = np.asarray(make_class_orders(jax.random.key(0), 5, 21))
+    assert orders.shape == (5, 20)
+    for row in orders:
+        assert sorted(row.tolist()) == list(range(1, 21))
+
+
+def test_absent_everything_reduces_to_suppression(rng):
+    """All-ignore label: no class is present so no bias is applied; the
+    E-step degenerates to the suppression clamp alone (which, per the
+    reference's formula, still fires where f > per-pixel-min + global-max).
+    """
+    from em_adapt_tpu.ops.estep_oracle import suppress_absent
+
+    scores = rng.normal(size=(1, 6, 6, 4)).astype(np.float32)
+    label = np.full((1, 6, 6), 255.0, dtype=np.float32)
+    orders = np.array([[1, 2, 3]], dtype=np.int32)
+    out = estep_oracle(scores, label, orders=orders, num_iter=1)
+    want = suppress_absent(scores, np.zeros((1, 4), np.uint8), 1e-5)
+    np.testing.assert_allclose(out, want, atol=1e-5)
