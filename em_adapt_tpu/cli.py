@@ -1,0 +1,188 @@
+"""Command-line entry points.
+
+The reference's CLI is ``python deeplab.py <gpu_id>`` with every
+hyperparameter hardcoded in __main__ (reference deeplab.py:287-294) and a
+separate ``python convert.py`` prep script (reference convert.py). Here
+one typed CLI covers the same surface and more:
+
+    em-adapt train   [--synthetic N] [--resume] [key=value ...]
+    em-adapt eval    [--crf] [--checkpoint DIR] [key=value ...]
+    em-adapt convert --voc-seg DIR --sbd-cls DIR --out DIR
+    em-adapt info
+
+Overrides use dotted config paths, e.g.:
+    em-adapt train optim.base_lr=5e-4 train.batch_size=8 data.length=64
+Device selection is JAX-native (JAX_PLATFORMS / mesh config), replacing
+the reference's CUDA_VISIBLE_DEVICES argv hack (reference deeplab.py:3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="em-adapt",
+        description="TPU-native EM-Adapt weakly-supervised segmentation",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="run EM training")
+    t.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="train on N synthetic images instead of VOC on disk")
+    t.add_argument("--resume", action="store_true",
+                   help="resume from the latest 'norm' checkpoint")
+    t.add_argument("--steps", type=int, default=None,
+                   help="cap total microbatch steps (smoke runs)")
+    t.add_argument("--log-jsonl", default=None, help="also write metrics JSONL here")
+    t.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first steps")
+    t.add_argument("overrides", nargs="*", help="config overrides key=value")
+
+    e = sub.add_parser("eval", help="evaluate mIoU on the val split")
+    e.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (default: config checkpoint.save_dir)")
+    e.add_argument("--crf", action="store_true", help="denseCRF post-processing")
+    e.add_argument("--synthetic", type=int, default=None, metavar="N")
+    e.add_argument("--fixed-size", action="store_true",
+                   help="evaluate at the training resolution (fast path)")
+    e.add_argument("overrides", nargs="*", help="config overrides key=value")
+
+    c = sub.add_parser("convert", help="build SegmentationClassAug masks")
+    c.add_argument("--voc-seg", default=None, help="VOC SegmentationClass dir")
+    c.add_argument("--sbd-cls", default=None, help="SBD benchmark cls dir")
+    c.add_argument("--out", required=True, help="output SegmentationClassAug dir")
+
+    sub.add_parser("info", help="print config defaults and device info")
+    return p
+
+
+def _load_cfg(overrides):
+    from em_adapt_tpu.config import ExperimentConfig, apply_overrides
+
+    return apply_overrides(ExperimentConfig(), overrides or [])
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from em_adapt_tpu.data import SyntheticVOC, VOCSegmentation, batch_iterator
+    from em_adapt_tpu.train import Trainer
+    from em_adapt_tpu.utils import MetricLogger, trace_context
+
+    cfg = _load_cfg(args.overrides)
+    if args.synthetic:
+        ds = SyntheticVOC(n=args.synthetic, num_classes=cfg.model.num_classes,
+                          seed=cfg.train.seed)
+    else:
+        ds = VOCSegmentation(cfg.data, "train")
+    steps_per_epoch = max(len(ds) // cfg.train.batch_size, 1)
+    print(f"dataset: {len(ds)} images, {steps_per_epoch} steps/epoch, "
+          f"devices: {jax.device_count()} ({jax.devices()[0].platform})")
+
+    trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch)
+    state = trainer.init_state()
+    if args.resume:
+        latest = trainer.checkpointer.latest_step("norm")
+        if latest is None:
+            print("--resume: no checkpoint found, starting fresh")
+        else:
+            state = trainer.checkpointer.restore(jax.device_get(state))
+            state = trainer.plan.replicate(state)
+            print(f"resumed from step {latest}")
+
+    logger = MetricLogger(args.log_jsonl)
+    batches = batch_iterator(
+        ds, cfg.data, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
+        epochs=None, train=True,
+    )
+    with trace_context(args.profile_dir):
+        state = trainer.fit(state, batches, num_steps=args.steps, log_fn=logger)
+    trainer.checkpointer.save(state, tag="norm")
+    trainer.checkpointer.close()
+    logger.close()
+    print(f"done at step {int(jax.device_get(state.step))}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import dataclasses
+
+    import jax
+
+    from em_adapt_tpu.data import SyntheticVOC, VOCSegmentation, batch_iterator
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.train import Trainer
+
+    cfg = _load_cfg(args.overrides)
+    if args.checkpoint:
+        cfg = cfg.replace(
+            checkpoint=dataclasses.replace(cfg.checkpoint, save_dir=args.checkpoint)
+        )
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state()
+    latest = trainer.checkpointer.latest_step("norm")
+    if latest is not None:
+        state = trainer.checkpointer.restore(jax.device_get(state))
+        print(f"evaluating checkpoint step {latest}")
+    else:
+        print("no checkpoint found; evaluating fresh init")
+
+    if args.synthetic:
+        ds = SyntheticVOC(n=args.synthetic, num_classes=cfg.model.num_classes,
+                          seed=cfg.train.seed + 1, category="val")
+    else:
+        ds = VOCSegmentation(cfg.data, "val")
+    ev = Evaluator(cfg, trainer.model)
+    if args.fixed_size:
+        batches = batch_iterator(ds, cfg.data, batch_size=cfg.eval.batch_size,
+                                 seed=0, epochs=1, train=False)
+        miou, iou = ev.evaluate_fixed(state.params, batches)
+    else:
+        miou, iou = ev.evaluate_voc(state.params, ds, use_crf=args.crf)
+    from em_adapt_tpu.data.voc import VOC_CLASS_NAMES
+
+    for i, v in enumerate(iou):
+        name = VOC_CLASS_NAMES[i] if i < len(VOC_CLASS_NAMES) else str(i)
+        print(f"  IoU[{name}] = {v:.4f}")
+    print(f"mIoU = {miou:.4f}" + (" (with CRF)" if args.crf else ""))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from em_adapt_tpu.data.voc import convert_dataset
+
+    if not args.voc_seg and not args.sbd_cls:
+        print("error: need at least one of --voc-seg / --sbd-cls", file=sys.stderr)
+        return 2
+    convert_dataset(args.voc_seg, args.sbd_cls, args.out)
+    return 0
+
+
+def cmd_info(_args) -> int:
+    import jax
+
+    from em_adapt_tpu.config import ExperimentConfig, flatten
+    from em_adapt_tpu.version import __version__
+
+    print(f"em-adapt-tpu {__version__}")
+    print(f"jax {jax.__version__}, devices: {jax.devices()}")
+    for k, v in flatten(ExperimentConfig()).items():
+        print(f"  {k} = {v}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    return {
+        "train": cmd_train,
+        "eval": cmd_eval,
+        "convert": cmd_convert,
+        "info": cmd_info,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

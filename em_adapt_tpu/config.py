@@ -10,7 +10,7 @@ so ``ExperimentConfig()`` reproduces the published 37.98%-mIoU run.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Sequence
+from typing import Sequence
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,10 +115,8 @@ class MeshConfig:
     ``space`` axis for spatial sharding of large inputs.
     """
 
-    #: Axis name -> size. -1 means "all remaining devices".
-    axes: Mapping[str, int] = dataclasses.field(
-        default_factory=lambda: {"data": -1, "space": 1}
-    )
+    #: (axis name, size) pairs; -1 means "all remaining devices".
+    axes: tuple[tuple[str, int], ...] = (("data", -1), ("space", 1))
     data_axis: str = "data"
     space_axis: str = "space"
 

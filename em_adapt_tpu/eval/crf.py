@@ -1,0 +1,115 @@
+"""Fully-connected CRF post-processing (mean-field inference).
+
+The reference delegates denseCRF to an external repo but preserves the
+hyperparameters in its dead predict() stub: bilateral sxy=121, srgb=5,
+compat=10; spatial (Gaussian) sxy=3, compat=3; 10 iterations (reference
+network.py:63). This module implements Krähenbühl & Koltun mean-field
+inference with a Potts compatibility:
+
+    Q <- softmax( log U - sum_m compat_m * (k_m * Q  - Q) )
+
+where k_m*Q is Gaussian filtering in (x, y) for the spatial kernel and in
+(x, y, r, g, b) for the bilateral kernel. The bilateral filter uses the
+standard bilateral-grid approximation (splat / blur / slice with the grid
+sampled at one cell per kernel std) — the same accuracy/speed trade the
+permutohedral lattice makes.
+
+Runs on the host in numpy: CRF is a per-image eval-time refinement over
+dynamic image sizes, not part of the jitted train graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+from em_adapt_tpu.config import EvalConfig
+
+
+def _gaussian_filter_xy(q: np.ndarray, sxy: float) -> np.ndarray:
+    """Per-channel spatial Gaussian, normalized so the effective kernel
+    sums to 1 even at image borders (normalized convolution — zero-padded
+    filtering alone would shrink border messages and flip border pixels).
+    q: [H,W,C]."""
+    num = ndimage.gaussian_filter(q, sigma=(sxy, sxy, 0), mode="constant")
+    den = ndimage.gaussian_filter(
+        np.ones(q.shape[:2] + (1,), np.float32), sigma=(sxy, sxy, 0), mode="constant"
+    )
+    return num / np.maximum(den, 1e-8)
+
+
+def _bilateral_grid_filter(
+    q: np.ndarray, rgb: np.ndarray, sxy: float, srgb: float
+) -> np.ndarray:
+    """Bilateral filtering of q [H,W,C] guided by rgb [H,W,3] uint8.
+
+    Splat into a downsampled 5-D grid (cell size = one std per axis), blur
+    with a small separable Gaussian, slice back with nearest-cell lookup,
+    and normalize by a homogeneous channel.
+    """
+    h, w, c = q.shape
+    rgb = rgb.astype(np.float32)
+
+    ys = (np.arange(h, dtype=np.float32) / sxy)
+    xs = (np.arange(w, dtype=np.float32) / sxy)
+    yy = np.broadcast_to(ys[:, None], (h, w))
+    xx = np.broadcast_to(xs[None, :], (h, w))
+    col = rgb / srgb  # [H,W,3]
+
+    coords = [yy, xx, col[..., 0], col[..., 1], col[..., 2]]
+    idx = [np.round(v).astype(np.int64) for v in coords]
+    dims = [int(i.max()) + 1 for i in idx]
+
+    flat = np.ravel_multi_index([i.reshape(-1) for i in idx], dims)
+    size = int(np.prod(dims))
+
+    # Splat q and a homogeneous 1-channel for normalization.
+    grid = np.zeros((size, c + 1), np.float32)
+    np.add.at(grid, flat, np.concatenate([q.reshape(-1, c), np.ones((h * w, 1), np.float32)], 1))
+    grid = grid.reshape(*dims, c + 1)
+
+    # Blur: std = 1 cell per axis.
+    grid = ndimage.gaussian_filter(grid, sigma=(1, 1, 1, 1, 1, 0), mode="constant", truncate=2.0)
+
+    sliced = grid.reshape(size, c + 1)[flat].reshape(h, w, c + 1)
+    norm = np.maximum(sliced[..., -1:], 1e-8)
+    return sliced[..., :-1] / norm
+
+
+def dense_crf(
+    probs: np.ndarray,
+    rgb: np.ndarray,
+    cfg: EvalConfig | None = None,
+    *,
+    num_iterations: int | None = None,
+) -> np.ndarray:
+    """Refine class probabilities with mean-field dense-CRF inference.
+
+    Args:
+      probs: [H, W, C] float softmax output (the unary is -log of this).
+      rgb: [H, W, 3] uint8 original image.
+      cfg: kernel hyperparameters (defaults = reference network.py:63).
+
+    Returns:
+      [H, W, C] refined probabilities.
+    """
+    cfg = cfg or EvalConfig()
+    iters = cfg.crf_iterations if num_iterations is None else num_iterations
+    probs = np.asarray(probs, np.float32)
+    log_unary = np.log(np.maximum(probs, 1e-8))
+    q = probs
+
+    for _ in range(iters):
+        sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
+        bi = _bilateral_grid_filter(q, rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
+        # Potts pairwise: label l is penalized by the filtered mass of OTHER
+        # labels, compat * (S - filtered_l); S = sum_l' filtered_l' is
+        # label-independent and cancels in the softmax, leaving
+        # +compat * filtered_l. The filter's tiny self-contribution is kept
+        # (subtracting the full q instead would add a -compat*q_l
+        # anti-damping term and make the iteration oscillate).
+        energy = log_unary + cfg.crf_g_compat * sp + cfg.crf_bi_compat * bi
+        energy -= energy.max(-1, keepdims=True)
+        e = np.exp(energy)
+        q = e / e.sum(-1, keepdims=True)
+    return q

@@ -1,0 +1,55 @@
+"""Mean intersection-over-union for semantic segmentation.
+
+The reference keeps evaluation external (readme.md:43-44 points at the
+author's other repos); here mIoU is in-repo and on-device: a jitted
+confusion-matrix accumulator (one [C,C] int64 bincount per batch) and the
+standard VOC reduction IoU_c = TP / (TP + FP + FN), averaged over classes
+that appear in ground truth or prediction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def confusion_matrix(
+    pred: jax.Array, gt: jax.Array, num_classes: int
+) -> jax.Array:
+    """[C, C] confusion counts; rows = ground truth, cols = prediction.
+    Pixels with gt >= num_classes (the 255 void label) are ignored."""
+    pred = pred.reshape(-1).astype(jnp.int32)
+    gt = gt.reshape(-1).astype(jnp.int32)
+    valid = gt < num_classes
+    idx = jnp.where(valid, gt * num_classes + pred, num_classes * num_classes)
+    counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
+    return counts[:-1].reshape(num_classes, num_classes)
+
+
+def miou_from_confusion(cm: np.ndarray) -> tuple[float, np.ndarray]:
+    """(mean IoU, per-class IoU). Classes absent from both gt and pred get
+    NaN and are excluded from the mean (standard VOC practice)."""
+    cm = np.asarray(cm, np.float64)
+    tp = np.diag(cm)
+    denom = cm.sum(0) + cm.sum(1) - tp
+    with np.errstate(invalid="ignore", divide="ignore"):
+        iou = np.where(denom > 0, tp / denom, np.nan)
+    return float(np.nanmean(iou)), iou
+
+
+class ConfusionAccumulator:
+    """Streaming confusion matrix over batches (device-side adds)."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self._cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+
+    def update(self, pred: jax.Array, gt: jax.Array) -> None:
+        self._cm = self._cm + confusion_matrix(pred, gt, self.num_classes)
+
+    def result(self) -> tuple[float, np.ndarray]:
+        return miou_from_confusion(np.asarray(jax.device_get(self._cm)))

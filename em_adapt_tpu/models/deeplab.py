@@ -1,0 +1,211 @@
+"""DeepLab-LargeFOV (VGG-16 + atrous head) as a pure functional JAX model.
+
+Architecture contract (reference deeplab.py:35-107):
+  * 5 VGG conv blocks, 3x3 SAME stride-1 convs + ReLU; the conv5 block uses
+    atrous rate 2 (reference deeplab.py:65).
+  * 3x3 SAME max pools: stride 2 after blocks 1-3, stride 1 after blocks 4-5
+    (reference deeplab.py:73-83) — output stride 8, so 321x321 -> 41x41.
+  * fc6 = 4x4x512x4096 atrous rate 4 (reference deeplab.py:92, :145),
+    fc7 = 1x1x4096x4096, fc8 = 1x1x4096xC; dropout (TF1 keep-prob
+    semantics) after relu6/relu7 (reference deeplab.py:104, :266).
+  * Output is raw fc8 logits, no softmax (reference deeplab.py:48-49).
+
+TPU-first notes: parameters live in a flat {layer: {"w","b"}} pytree
+(HWIO weights, same layout as the Caffe-converted init.npy the reference
+loads — reference deeplab.py:128, :160); the forward pass is a pure
+function of (params, x, rng) so it jits/shards/remats freely. With
+``compute_dtype="bfloat16"`` convs run on the MXU in bf16 with f32
+accumulation; params stay f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from em_adapt_tpu.config import ModelConfig
+from em_adapt_tpu.models.registry import register_model
+from em_adapt_tpu.ops.conv import conv2d_same
+from em_adapt_tpu.ops.pooling import max_pool_same
+from em_adapt_tpu.ops.resize import resize_bilinear_tf
+
+# (name, kh, kw, in_ch, out_ch, atrous_rate) for every parameterized layer,
+# in forward order. Channel widths follow the reference's stride-derived
+# table (reference deeplab.py:133-141), which is standard VGG-16.
+VGG_CONV_SPECS: tuple[tuple[str, int, int, int, int, int], ...] = (
+    ("conv1_1", 3, 3, 3, 64, 1),
+    ("conv1_2", 3, 3, 64, 64, 1),
+    ("conv2_1", 3, 3, 64, 128, 1),
+    ("conv2_2", 3, 3, 128, 128, 1),
+    ("conv3_1", 3, 3, 128, 256, 1),
+    ("conv3_2", 3, 3, 256, 256, 1),
+    ("conv3_3", 3, 3, 256, 256, 1),
+    ("conv4_1", 3, 3, 256, 512, 1),
+    ("conv4_2", 3, 3, 512, 512, 1),
+    ("conv4_3", 3, 3, 512, 512, 1),
+    ("conv5_1", 3, 3, 512, 512, 2),
+    ("conv5_2", 3, 3, 512, 512, 2),
+    ("conv5_3", 3, 3, 512, 512, 2),
+)
+
+#: Pools come after the last conv of each block: (after_layer, stride).
+POOLS: dict[str, int] = {
+    "conv1_2": 2,
+    "conv2_2": 2,
+    "conv3_3": 2,
+    "conv4_3": 1,
+    "conv5_3": 1,
+}
+
+
+def layer_specs(cfg: ModelConfig) -> tuple[tuple[str, int, int, int, int, int], ...]:
+    """All parameterized layers including the atrous-FC head."""
+    fc = (
+        ("fc6", 4, 4, 512, cfg.fc6_channels, cfg.fc6_rate),
+        ("fc7", 1, 1, cfg.fc6_channels, cfg.fc6_channels, 1),
+        ("fc8", 1, 1, cfg.fc6_channels, cfg.num_classes, 1),
+    )
+    return VGG_CONV_SPECS + fc
+
+
+LAYER_SPECS = layer_specs(ModelConfig())
+
+
+def _xavier_uniform(key: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+    """TF1 xavier_initializer(uniform=True): U(-l, l), l = sqrt(6/(fi+fo)).
+
+    fc8 uses this for BOTH weight and bias (reference deeplab.py:156-167).
+    For conv weights fan counts include the receptive field; for a 1-D bias
+    TF treats fan_in = fan_out = shape[0].
+    """
+    if len(shape) == 4:
+        rf = shape[0] * shape[1]
+        fan_in, fan_out = shape[2] * rf, shape[3] * rf
+    else:
+        fan_in = fan_out = shape[0]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def init_params(
+    key: jax.Array, cfg: ModelConfig, init_model: dict[str, Any] | None = None
+) -> dict[str, dict[str, jax.Array]]:
+    """Build the parameter pytree.
+
+    With ``init_model`` (the Caffe-converted dict from init.npy): every
+    layer except fc8 copies pretrained w/b, fc8 gets Xavier-uniform w and b
+    (reference deeplab.py:156-167). Without: N(0, 0.01) weights, zero
+    biases (reference deeplab.py:151-154).
+    """
+    params: dict[str, dict[str, jax.Array]] = {}
+    keys = jax.random.split(key, len(layer_specs(cfg)) * 2)
+    for idx, (name, kh, kw, cin, cout, _) in enumerate(layer_specs(cfg)):
+        wkey, bkey = keys[2 * idx], keys[2 * idx + 1]
+        if init_model is not None and name != "fc8":
+            w = jnp.asarray(init_model[name]["w"], jnp.float32)
+            b = jnp.asarray(init_model[name]["b"], jnp.float32)
+            if w.shape != (kh, kw, cin, cout):
+                raise ValueError(
+                    f"{name}: init.npy weight shape {w.shape} != expected "
+                    f"{(kh, kw, cin, cout)} (HWIO)"
+                )
+        elif init_model is not None:  # fc8 under pretrained init
+            w = _xavier_uniform(wkey, (kh, kw, cin, cout))
+            b = _xavier_uniform(bkey, (cout,))
+        else:
+            w = 0.01 * jax.random.normal(wkey, (kh, kw, cin, cout), jnp.float32)
+            b = jnp.zeros((cout,), jnp.float32)
+        params[name] = {"w": w, "b": b}
+    return params
+
+
+def load_caffe_init(path: str) -> dict[str, Any]:
+    """Load the Caffe-converted init.npy: {layer: {"w": HWIO, "b": [C]}}
+    (np.load latin1 pickle, reference deeplab.py:126-129)."""
+    return np.load(path, encoding="latin1", allow_pickle=True).item()
+
+
+def _dropout(x: jax.Array, key: jax.Array, keep_prob: float) -> jax.Array:
+    """TF1 tf.nn.dropout: keep with prob p, scale kept values by 1/p."""
+    keep = jax.random.bernoulli(key, keep_prob, x.shape)
+    return jnp.where(keep, x / keep_prob, jnp.zeros_like(x))
+
+
+@register_model("deeplab_largefov")
+@dataclasses.dataclass(frozen=True)
+class DeepLabLargeFOV:
+    """Functional model wrapper: ``init`` -> params, ``apply`` -> logits."""
+
+    cfg: ModelConfig = ModelConfig()
+
+    def init(self, key: jax.Array) -> dict:
+        init_model = (
+            load_caffe_init(self.cfg.init_model_path)
+            if self.cfg.init_model_path
+            else None
+        )
+        return init_params(key, self.cfg, init_model)
+
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array,
+        *,
+        train: bool = False,
+        rng: jax.Array | None = None,
+    ) -> jax.Array:
+        """Forward pass. x: [B,H,W,3] preprocessed (BGR, mean-subtracted).
+        Returns fc8 logits [B, H/8(ceil), W/8(ceil), C]."""
+        cfg = self.cfg
+        compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        )
+        if train and rng is None:
+            raise ValueError("train=True requires a dropout rng")
+        drop_keys = jax.random.split(rng, 2) if train else (None, None)
+
+        h = x
+        for name, _, _, _, _, rate in VGG_CONV_SPECS:
+            p = params[name]
+            h = conv2d_same(h, p["w"], p["b"], rate=rate, compute_dtype=compute_dtype)
+            h = jax.nn.relu(h)
+            if name in POOLS:
+                h = max_pool_same(h, window=3, stride=POOLS[name])
+
+        # Atrous-FC head.
+        h = conv2d_same(
+            h, params["fc6"]["w"], params["fc6"]["b"], rate=cfg.fc6_rate,
+            compute_dtype=compute_dtype,
+        )
+        h = jax.nn.relu(h)
+        if train:
+            h = _dropout(h, drop_keys[0], cfg.dropout_keep_prob)
+        h = conv2d_same(
+            h, params["fc7"]["w"], params["fc7"]["b"], compute_dtype=compute_dtype
+        )
+        h = jax.nn.relu(h)
+        if train:
+            h = _dropout(h, drop_keys[1], cfg.dropout_keep_prob)
+        return conv2d_same(
+            h, params["fc8"]["w"], params["fc8"]["b"], compute_dtype=compute_dtype
+        )
+
+    def predict(self, params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Upsampled probabilities + hard prediction at input resolution
+        (reference network.py:39-41: bilinear resize of logits + argmax)."""
+        logits = self.apply(params, x, train=False)
+        up = resize_bilinear_tf(logits, (x.shape[1], x.shape[2]))
+        return up, jnp.argmax(up, axis=3).astype(jnp.int32)
+
+    def weight_l2(self, params: dict) -> jax.Array:
+        """Sum of 0.5*||w||^2 over conv WEIGHTS only — biases excluded,
+        matching tf.nn.l2_loss over self.weights[layer][0]
+        (reference deeplab.py:184)."""
+        return sum(
+            0.5 * jnp.sum(jnp.square(p["w"].astype(jnp.float32)))
+            for p in params.values()
+        )

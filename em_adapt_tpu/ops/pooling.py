@@ -16,11 +16,16 @@ from jax import lax
 
 
 def max_pool_same(x: jax.Array, window: int = 3, stride: int = 1) -> jax.Array:
-    """NHWC max pool, k x k SAME, matching tf.nn.max_pool semantics."""
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    """NHWC max pool, k x k SAME, matching tf.nn.max_pool semantics.
+
+    The init value must be a python literal: a traced array would force the
+    generic reduce_window primitive, which has no autodiff rule — the
+    literal lets JAX dispatch to the differentiable max monoid.
+    """
+    neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
-        jnp.asarray(neg_inf, x.dtype),
+        neg_inf,
         lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

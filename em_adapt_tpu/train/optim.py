@@ -1,0 +1,92 @@
+"""Optimizer: SGD+momentum, gradient accumulation, staged LR, LR groups.
+
+Reproduces the reference's optimization semantics (reference
+deeplab.py:188-208, :243-262):
+
+* ``tf.train.MomentumOptimizer``: accum = m*accum + g; var -= lr*accum —
+  exactly ``optax.sgd(momentum=...)`` (heavy-ball, no Nesterov).
+* Gradient accumulation over ``accum_steps`` microbatches with mean
+  semantics (the reference adds g/accum_num each step and applies every
+  accum_num steps — reference deeplab.py:202-205) — ``optax.MultiSteps``.
+* Step-indexed piecewise-constant LR: drops at epochs 10/20/30 measured in
+  microbatch steps (reference deeplab.py:243-262).
+* Caffe LR-group multipliers (bias x2, fc8 w x10, fc8 b x20). The
+  reference computes these and silently discards them (dead rebinding
+  loop, reference deeplab.py:194-200), so they default OFF for
+  code-parity; ``lr_multipliers=True`` enables the paper recipe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from em_adapt_tpu.config import OptimConfig
+
+
+def lr_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
+    """Piecewise-constant LR over microbatch steps.
+
+    boundaries_and_scales maps to the reference's absolute values:
+    base 1e-3, then 1e-4/1e-5/1e-6 at epoch boundaries.
+    """
+    boundaries = {}
+    prev = cfg.base_lr
+    for epoch, lr in cfg.lr_schedule:
+        boundaries[epoch * steps_per_epoch] = lr / prev
+        prev = lr
+    return optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
+
+
+def _lr_group(path: tuple, _) -> str:
+    """Classify a param leaf into its Caffe LR group.
+
+    path is the pytree path: (layer_name, 'w'|'b').
+    """
+    layer = path[0].key if hasattr(path[0], "key") else str(path[0])
+    kind = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    if layer == "fc8":
+        return "fc8_b" if kind == "b" else "fc8_w"
+    return "bias" if kind == "b" else "weight"
+
+
+GROUP_MULTIPLIERS = {"weight": 1.0, "bias": 2.0, "fc8_w": 10.0, "fc8_b": 20.0}
+
+
+def _scale_by_group() -> optax.GradientTransformation:
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda path, g: g * GROUP_MULTIPLIERS[_lr_group(path, g)], updates
+        )
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(
+    cfg: OptimConfig, steps_per_epoch: int
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """The full transformation chain, wrapped in MultiSteps for accumulation.
+
+    Weight decay is NOT here: the reference adds wd*l2 to the loss
+    (reference deeplab.py:185), so it arrives through the gradients.
+    """
+    sched = lr_schedule(cfg, steps_per_epoch)
+    chain = []
+    if cfg.lr_multipliers:
+        chain.append(_scale_by_group())
+    chain.append(optax.sgd(learning_rate=sched, momentum=cfg.momentum))
+    tx = optax.chain(*chain)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx, sched
+
+
+def current_lr(sched: optax.Schedule, step) -> jax.Array:
+    return jnp.asarray(sched(step))

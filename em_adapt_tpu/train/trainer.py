@@ -1,0 +1,196 @@
+"""The EM training step and driver loop.
+
+One jitted function per microbatch step — forward (with dropout) ->
+on-device E-step -> cross-entropy against the weak labels -> backward ->
+(accumulated) SGD+momentum update. This is the whole per-step dataflow of
+the reference's hot loop (reference deeplab.py:242-280) with its three
+host round-trips deleted (SURVEY.md §3.2): the batch arrives sharded on
+device, the E-step is traced into the graph, and the optimizer update is
+fused into the same executable.
+
+EM semantics: the E-step output is a fixed target (stop_gradient — the
+reference got this for free from tf.py_func, deeplab.py:120); gradients
+flow only through the logits.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from em_adapt_tpu.config import ExperimentConfig
+from em_adapt_tpu.ops.estep import estep_labels, make_class_orders
+from em_adapt_tpu.ops.resize import resize_nearest_tf
+from em_adapt_tpu.parallel.mesh import MeshPlan, make_mesh
+from em_adapt_tpu.train.optim import build_optimizer
+from em_adapt_tpu.train.state import TrainState
+
+
+def loss_fn(
+    params: dict,
+    batch: dict,
+    rng: jax.Array,
+    model,
+    cfg: ExperimentConfig,
+) -> tuple[jax.Array, dict]:
+    """Total loss = CE(logits, estep_labels) + wd * L2(weights).
+
+    batch: {"image": [B,H,W,3] f32 preprocessed, "label": [B,H,W,1] f32
+    mask (255=ignore), optional "is_strong": [B] bool for the
+    semi-supervised variant}.
+    """
+    num_classes = cfg.model.num_classes
+    drop_rng, order_rng = jax.random.split(rng)
+
+    logits = model.apply(params, batch["image"], train=True, rng=drop_rng)
+    out_hw = (logits.shape[1], logits.shape[2])
+
+    # Label shrink to score-map resolution (reference deeplab.py:110).
+    shrunk = resize_nearest_tf(batch["label"], out_hw)[..., 0]  # [B,h,w] f32
+
+    orders = make_class_orders(order_rng, cfg.estep.num_iter, num_classes)
+    weak = estep_labels(logits, shrunk, orders, cfg.estep)  # [B,h,w] int32
+
+    flat_logits = logits.reshape(-1, num_classes)
+
+    if cfg.semi_supervised and "is_strong" in batch:
+        # Strongly-labeled images train on their true (downsampled) masks
+        # with void pixels ignored (reference network.py:77-89 semantics);
+        # weakly-labeled images train on the E-step assignment.
+        strong = batch["is_strong"][:, None, None]  # [B,1,1]
+        true_lab = shrunk.astype(jnp.int32)
+        target = jnp.where(strong, true_lab, weak)
+        valid = jnp.where(strong, true_lab < num_classes, True)
+        ce_map = optax.softmax_cross_entropy_with_integer_labels(
+            flat_logits, jnp.clip(target, 0, num_classes - 1).reshape(-1)
+        ).reshape(valid.shape)
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        ce = jnp.sum(ce_map * valid) / denom
+    else:
+        # Pure weak supervision: E-step labels are always valid classes, so
+        # the mean runs over every pixel (reference deeplab.py:182).
+        ce = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(
+                flat_logits, weak.reshape(-1)
+            )
+        )
+
+    l2 = model.weight_l2(params)
+    total = ce + cfg.optim.weight_decay * l2
+    return total, {"loss": total, "loss_norm": ce, "loss_l2": l2}
+
+
+def make_train_step(
+    model, cfg: ExperimentConfig, tx: optax.GradientTransformation, plan: MeshPlan
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Build the jitted, mesh-sharded microbatch step.
+
+    State is replicated; the batch is sharded on the data axis; XLA inserts
+    the gradient all-reduce over ICI because the (replicated) grads depend
+    on sharded inputs.
+    """
+
+    def step(state: TrainState, batch: dict):
+        rng, new_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=new_rng
+        )
+        return new_state, metrics
+
+    repl = plan.replicated()
+    batch_sh = plan.batch_sharding()
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if cfg.train.donate_state else (),
+    )
+
+
+class Trainer:
+    """Owns mesh, state, jitted step, logging and checkpoint cadence.
+
+    Mirrors the reference's train() driver (reference deeplab.py:210-285):
+    microbatch steps with accumulation inside the optimizer, LR drops at
+    epoch boundaries (inside the schedule), loss logging every
+    ``log_every_steps``, periodic checkpoints.
+    """
+
+    def __init__(self, cfg: ExperimentConfig, model=None, steps_per_epoch: int | None = None):
+        from em_adapt_tpu.models import get_model
+
+        self.cfg = cfg
+        self.model = model or get_model(cfg.model.name)(cfg.model)
+        self.plan = make_mesh(cfg.mesh)
+        # steps_per_epoch: data_len // batch_size (reference deeplab.py:241);
+        # callers with a real dataset pass it in, tests may use a constant.
+        self.steps_per_epoch = steps_per_epoch or 1
+        self.tx, self.sched = build_optimizer(cfg.optim, self.steps_per_epoch)
+        self.train_step = make_train_step(self.model, cfg, self.tx, self.plan)
+        self._ckpt = None
+
+    def init_state(self, seed: int | None = None) -> TrainState:
+        seed = self.cfg.train.seed if seed is None else seed
+        k_params, k_state = jax.random.split(jax.random.key(seed))
+        params = self.model.init(k_params)
+        state = TrainState.create(params, self.tx, k_state)
+        return self.plan.replicate(state)
+
+    @property
+    def checkpointer(self):
+        if self._ckpt is None:
+            from em_adapt_tpu.train.checkpoint import CheckpointManager
+
+            self._ckpt = CheckpointManager(self.cfg.checkpoint)
+        return self._ckpt
+
+    def fit(
+        self,
+        state: TrainState,
+        batches: Iterable[dict],
+        *,
+        num_steps: int | None = None,
+        log_fn: Callable[[dict], None] | None = None,
+    ) -> TrainState:
+        """Run the training loop over an iterable of host batches."""
+        cfg = self.cfg
+        total_steps = (
+            num_steps
+            if num_steps is not None
+            else cfg.train.epochs * self.steps_per_epoch
+        )
+        lr_drop_steps = {
+            epoch * self.steps_per_epoch for epoch, _ in cfg.optim.lr_schedule
+        }
+        t0 = time.time()
+        n_done = 0
+        for batch in batches:
+            step_idx = int(jax.device_get(state.step))
+            if step_idx >= total_steps:
+                break
+            if cfg.checkpoint.snapshot_on_lr_drop and step_idx in lr_drop_steps:
+                self.checkpointer.save(state, tag="lr")
+            arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
+            state, metrics = self.train_step(state, self.plan.shard_batch(arrays))
+            n_done += 1
+            step_idx += 1
+            if step_idx % cfg.train.log_every_steps == 0 and log_fn is not None:
+                m = jax.device_get(metrics)
+                m.update(
+                    step=step_idx,
+                    epoch=step_idx / self.steps_per_epoch,
+                    lr=float(self.sched(step_idx)),
+                    images_per_sec=n_done * cfg.train.batch_size / (time.time() - t0),
+                )
+                log_fn(m)
+            if step_idx % cfg.checkpoint.save_every_steps == 0:
+                self.checkpointer.save(state, tag="norm")
+        return state

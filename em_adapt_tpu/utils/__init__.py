@@ -1,0 +1,4 @@
+from em_adapt_tpu.utils.logging import MetricLogger
+from em_adapt_tpu.utils.profiling import StepTimer, trace_context
+
+__all__ = ["MetricLogger", "StepTimer", "trace_context"]

@@ -1,0 +1,155 @@
+"""Data layer: TF1-exact numpy resizes, palette conversion, convert tool,
+augmentation semantics, pipeline determinism."""
+
+import os
+
+import numpy as np
+import pytest
+
+from em_adapt_tpu.config import DataConfig
+from em_adapt_tpu.data.augment import (
+    BGR_MEAN,
+    augment_train,
+    preprocess_eval,
+    resize_bilinear_np,
+    resize_nearest_np,
+)
+from em_adapt_tpu.data.pipeline import SyntheticVOC, batch_iterator
+from em_adapt_tpu.data.voc import (
+    VOC_PALETTE,
+    convert_dataset,
+    index_to_rgb,
+    read_split,
+    rgb_mask_to_index,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+Z = np.load(os.path.join(FIX, "tf_ops.npz"))
+
+RESIZE_CASES = [
+    ("down_label", (41, 41)),
+    ("up_pred", (321, 321)),
+    ("odd", (7, 5)),
+    ("upscale", (23, 17)),
+]
+
+
+@pytest.mark.parametrize("name,size", RESIZE_CASES)
+def test_numpy_resizes_match_tf(name, size):
+    img = Z[f"resize_{name}_img"][0]
+    lab = Z[f"resize_{name}_lab"][0]
+    np.testing.assert_allclose(
+        resize_bilinear_np(img, size), Z[f"resize_{name}_bi"][0], atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        resize_nearest_np(lab, size), Z[f"resize_{name}_nn"][0]
+    )
+
+
+def test_palette_roundtrip():
+    label = np.arange(21, dtype=np.uint8).reshape(3, 7)
+    rgb = index_to_rgb(label)
+    back = rgb_mask_to_index(rgb)
+    np.testing.assert_array_equal(back, label)
+    # void boundary color -> 255
+    rgb2 = np.full((2, 2, 3), (224, 224, 192), np.uint8)
+    assert (rgb_mask_to_index(rgb2) == 255).all()
+
+
+def test_read_split(tmp_path):
+    (tmp_path / "txt").mkdir()
+    (tmp_path / "txt" / "train.txt").write_text("2007_000738\n2007_000739\n\n")
+    ids, imgs, labels = read_split(str(tmp_path / "txt"), "train", "root")
+    assert ids == ["2007_000738", "2007_000739"]
+    assert imgs[0].endswith(os.path.join("JPEGImages", "2007_000738.jpg"))
+    assert labels[1].endswith(os.path.join("SegmentationClassAug", "2007_000739.png"))
+    ids, _, _ = read_split(str(tmp_path / "txt"), "train", "root", length=1)
+    assert ids == ["2007_000738"]
+
+
+def test_convert_dataset(tmp_path):
+    from PIL import Image
+    from scipy import io as scipy_io
+
+    voc = tmp_path / "SegmentationClass"
+    sbd = tmp_path / "cls"
+    out = tmp_path / "SegmentationClassAug"
+    voc.mkdir()
+    sbd.mkdir()
+
+    # RGB-coded VOC mask: class 3 square on background + void border.
+    rgb = np.zeros((10, 10, 3), np.uint8)
+    rgb[2:6, 2:6] = VOC_PALETTE[3]
+    rgb[0, :] = (224, 224, 192)
+    Image.fromarray(rgb).save(voc / "2007_000001.png")
+
+    # SBD .mat with GTcls.Segmentation.
+    seg = np.zeros((8, 8), np.uint8)
+    seg[1:4, 1:4] = 7
+    scipy_io.savemat(sbd / "2008_000002.mat", {"GTcls": {"Segmentation": seg}})
+
+    n = convert_dataset(str(voc), str(sbd), str(out), log=lambda *a: None)
+    assert n == 2
+    a = np.asarray(Image.open(out / "2007_000001.png"))
+    assert a[3, 3] == 3 and a[0, 0] == 255 and a[9, 9] == 0
+    b = np.asarray(Image.open(out / "2008_000002.png"))
+    np.testing.assert_array_equal(b, seg)
+
+
+def test_augment_shapes_and_flip_sharing():
+    g = np.random.default_rng(0)
+    img = g.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    label = g.integers(0, 21, size=(200, 300)).astype(np.uint8)
+    # find a seed that flips: flip coin drawn after scale
+    img_a, lab_a = augment_train(img, label, np.random.default_rng(1))
+    assert img_a.shape == (321, 321, 3) and img_a.dtype == np.float32
+    assert lab_a.shape == (321, 321, 1) and lab_a.dtype == np.float32
+    # determinism
+    img_b, lab_b = augment_train(img, label, np.random.default_rng(1))
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(lab_a, lab_b)
+    # flip shared: run many seeds; when the image is flipped vs unflipped
+    # baseline, the label must be too.
+    img_nf, lab_nf = augment_train(
+        img, label, np.random.default_rng(1), flip=False
+    )
+    flipped_img = not np.array_equal(img_a, img_nf)
+    flipped_lab = not np.array_equal(lab_a, lab_nf)
+    assert flipped_img == flipped_lab
+
+
+def test_preprocess_eval_matches_manual():
+    g = np.random.default_rng(0)
+    img = g.integers(0, 256, size=(100, 80, 3), dtype=np.uint8)
+    out, lab = preprocess_eval(img, None, input_size=(50, 40))
+    manual = resize_bilinear_np(img, (50, 40))[:, :, ::-1] - BGR_MEAN
+    np.testing.assert_allclose(out, manual, atol=1e-5)
+    assert lab is None
+
+
+def test_batch_iterator_epochs_and_determinism():
+    ds = SyntheticVOC(n=10, seed=3)
+    cfg = DataConfig(input_size=(33, 33), num_workers=2)
+    batches = list(
+        batch_iterator(ds, cfg, batch_size=4, seed=5, epochs=2, train=True)
+    )
+    # 10 imgs, batch 4, drop remainder -> 2 per epoch x 2 epochs
+    assert len(batches) == 4
+    assert batches[0]["image"].shape == (4, 33, 33, 3)
+    assert batches[0]["label"].shape == (4, 33, 33, 1)
+    assert len(batches[0]["id"]) == 4
+    # deterministic across re-runs
+    again = list(batch_iterator(ds, cfg, batch_size=4, seed=5, epochs=2, train=True))
+    np.testing.assert_array_equal(batches[0]["image"], again[0]["image"])
+    assert batches[0]["id"] == again[0]["id"]
+    # different epochs shuffle differently
+    assert batches[0]["id"] != batches[2]["id"]
+
+
+def test_batch_iterator_eval_order():
+    ds = SyntheticVOC(n=6, seed=3, category="val")
+    cfg = DataConfig(input_size=(33, 33), num_workers=2)
+    batches = list(
+        batch_iterator(ds, cfg, batch_size=3, seed=5, epochs=1, train=False)
+    )
+    assert [i for b in batches for i in b["id"]] == ds.ids
