@@ -44,7 +44,10 @@ def conv2d_same(
         w = w.astype(compute_dtype)
     # f32 inputs get true-f32 accumulation ("highest"); with an explicit
     # low-precision compute_dtype (bf16 for the MXU) the fast default path
-    # is already what was asked for.
+    # is already what was asked for. The conv output keeps the compute
+    # dtype (no preferred_element_type: its transpose rule would mix f32
+    # cotangents with bf16 weights); the MXU still accumulates in f32
+    # internally, bf16 only rounds the result.
     precision = "highest" if x.dtype == jax.numpy.float32 else "default"
     y = lax.conv_general_dilated(
         x,
@@ -54,7 +57,6 @@ def conv2d_same(
         rhs_dilation=(rate, rate),
         dimension_numbers=_DIMS,
         precision=precision,
-        preferred_element_type=jax.numpy.float32,
     )
     if compute_dtype is not None:
         y = y.astype(orig_dtype)

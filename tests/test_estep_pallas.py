@@ -1,0 +1,80 @@
+"""Pallas E-step kernel vs the numpy oracle and reference golden fixtures
+(interpreter mode on CPU; the same kernel compiles for TPU)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from em_adapt_tpu.ops.estep_oracle import estep_oracle  # noqa: E402
+from em_adapt_tpu.ops.estep_pallas import estep_pallas  # noqa: E402
+
+FIXTURES = sorted(
+    glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "estep_*.npz"))
+)
+
+
+def load(path):
+    z = np.load(path)
+    kw = dict(
+        bg_p=float(z["bg_p"]),
+        fg_p=float(z["fg_p"]),
+        num_iter=int(z["num_iter"]),
+        suppress_others=bool(z["suppress"]),
+        margin_others=float(z["margin"]),
+    )
+    return z["scores"], z["label"], z["orders"], z["out"], kw
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=[os.path.basename(p) for p in FIXTURES])
+def test_pallas_matches_reference(path):
+    scores, label, orders, expected, kw = load(path)
+    got = np.asarray(
+        estep_pallas(
+            jnp.asarray(scores), jnp.asarray(label), jnp.asarray(orders), **kw
+        )
+    )
+    np.testing.assert_array_equal(got.argmax(3), expected.argmax(3))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=0)
+
+
+def test_pallas_matches_oracle_random(rng):
+    for (b, h, w, c) in [(2, 7, 9, 4), (3, 41, 41, 21)]:
+        scores = rng.normal(size=(b, h, w, c)).astype(np.float32)
+        label = rng.integers(0, c + 3, size=(b, h, w)).astype(np.float32)
+        label[label >= c] = 255.0
+        orders = np.stack(
+            [rng.permutation(np.arange(1, c)) for _ in range(3)]
+        ).astype(np.int32)
+        want = estep_oracle(scores, label, orders=orders, num_iter=3)
+        got = np.asarray(
+            estep_pallas(
+                jnp.asarray(scores), jnp.asarray(label), jnp.asarray(orders), num_iter=3
+            )
+        )
+        np.testing.assert_array_equal(got.argmax(3), want.argmax(3))
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
+
+
+def test_pallas_threshold_bitexact_single_class(rng):
+    """With one present fg class and suppression off, the bias added to
+    that channel must be the exact float np.partition selects."""
+    b, h, w, c = 1, 8, 8, 3
+    scores = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    label = np.full((b, h, w), 2.0, dtype=np.float32)
+    orders = np.array([[2, 1]], dtype=np.int32)
+    got = np.asarray(
+        estep_pallas(
+            jnp.asarray(scores), jnp.asarray(label), jnp.asarray(orders),
+            num_iter=1, suppress_others=False,
+        )
+    )
+    want = estep_oracle(
+        scores, label, orders=orders, num_iter=1, suppress_others=False
+    )
+    np.testing.assert_array_equal(got.argmax(3), want.argmax(3))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
