@@ -1,0 +1,90 @@
+"""Benchmark: EM-training throughput (images/sec/chip) on real hardware.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Protocol
+--------
+Measures the steady-state jitted EM train step — forward (bf16 MXU
+compute) + on-device E-step + CE loss + backward + accumulated
+SGD-momentum update — at the reference's production configuration:
+batch 6, 321x321, 21 classes, E-step (bg_p=0.4, fg_p=0.2, 5 iters),
+gradient accumulation 5 (reference deeplab.py:288-294, :181).
+
+``vs_baseline`` divides by the measured CPU TF reference-equivalent
+throughput: 0.094 images/sec (63.6 s/step) — the same per-step work
+(VGG-16/LargeFOV fwd+bwd with a host py_function E-step) restated in TF2
+and timed on this machine's CPU via tools/measure_tf_baseline.py
+(2026-08-16). The reference repo publishes no throughput numbers
+(BASELINE.md), so this measured proxy is the baseline.
+
+Timing notes: steps are chained back-to-back with donated state and only
+scalar metrics fetched per step — device-to-host transfers of tensors are
+excluded, matching how a real training loop behaves (the input batch is
+uploaded once here; the real pipeline overlaps H2D with compute via the
+prefetcher).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+#: tools/measure_tf_baseline.py result on this machine (see module docstring).
+CPU_TF_BASELINE_IMAGES_PER_SEC = 0.094
+
+
+def main() -> None:
+    import jax
+
+    from em_adapt_tpu.config import ExperimentConfig, MeshConfig, ModelConfig
+    from em_adapt_tpu.train import Trainer
+
+    n_dev = jax.device_count()
+    cfg = ExperimentConfig(
+        model=ModelConfig(compute_dtype="bfloat16"),
+        mesh=MeshConfig(axes=(("data", n_dev),)),
+    )
+    # Per-chip batch 6 (the reference's), scaled by data parallelism.
+    batch = 6 * n_dev
+    cfg = cfg.replace(train=cfg.train.__class__(batch_size=batch))
+
+    trainer = Trainer(cfg, steps_per_epoch=1763)
+    state = trainer.init_state()
+
+    g = np.random.default_rng(0)
+    host_batch = {
+        "image": (g.normal(size=(batch, 321, 321, 3)) * 40).astype(np.float32),
+        "label": g.integers(0, 21, size=(batch, 321, 321, 1)).astype(np.float32),
+    }
+    sb = trainer.plan.shard_batch(host_batch)
+
+    # Warmup (compile + 2 steps).
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, sb)
+        float(jax.device_get(metrics["loss"]))
+
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = trainer.train_step(state, sb)
+        float(jax.device_get(metrics["loss"]))  # scalar sync each step
+    dt = (time.perf_counter() - t0) / n
+
+    ips_per_chip = batch / dt / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "EM train-step throughput (batch 6/chip, 321x321, VGG16-LargeFOV + on-device E-step)",
+                "value": round(ips_per_chip, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips_per_chip / CPU_TF_BASELINE_IMAGES_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

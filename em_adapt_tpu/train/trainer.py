@@ -124,12 +124,18 @@ class Trainer:
     ``log_every_steps``, periodic checkpoints.
     """
 
-    def __init__(self, cfg: ExperimentConfig, model=None, steps_per_epoch: int | None = None):
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        model=None,
+        steps_per_epoch: int | None = None,
+        devices=None,
+    ):
         from em_adapt_tpu.models import get_model
 
         self.cfg = cfg
         self.model = model or get_model(cfg.model.name)(cfg.model)
-        self.plan = make_mesh(cfg.mesh)
+        self.plan = make_mesh(cfg.mesh, devices=devices)
         # steps_per_epoch: data_len // batch_size (reference deeplab.py:241);
         # callers with a real dataset pass it in, tests may use a constant.
         self.steps_per_epoch = steps_per_epoch or 1
