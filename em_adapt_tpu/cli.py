@@ -39,6 +39,11 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-jsonl", default=None, help="also write metrics JSONL here")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first steps")
+    t.add_argument("--strong-list", default=None, metavar="TXT",
+                   help="semi-supervised EM: ids in this list train on their "
+                        "real pixel masks (E-step bypassed for them)")
+    t.add_argument("--strong-fraction", type=float, default=0.0,
+                   help="with --synthetic: fraction of strongly-labeled images")
     t.add_argument("overrides", nargs="*", help="config overrides key=value")
 
     e = sub.add_parser("eval", help="evaluate mIoU on the val split")
@@ -73,11 +78,13 @@ def cmd_train(args) -> int:
     from em_adapt_tpu.utils import MetricLogger, trace_context
 
     cfg = _load_cfg(args.overrides)
+    if args.strong_list or args.strong_fraction > 0:
+        cfg = cfg.replace(semi_supervised=True)
     if args.synthetic:
         ds = SyntheticVOC(n=args.synthetic, num_classes=cfg.model.num_classes,
-                          seed=cfg.train.seed)
+                          seed=cfg.train.seed, strong_fraction=args.strong_fraction)
     else:
-        ds = VOCSegmentation(cfg.data, "train")
+        ds = VOCSegmentation(cfg.data, "train", strong_list=args.strong_list)
     steps_per_epoch = max(len(ds) // cfg.train.batch_size, 1)
     print(f"dataset: {len(ds)} images, {steps_per_epoch} steps/epoch, "
           f"devices: {jax.device_count()} ({jax.devices()[0].platform})")

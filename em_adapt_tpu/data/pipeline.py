@@ -29,14 +29,27 @@ from em_adapt_tpu.data.voc import read_split
 
 
 class VOCSegmentation:
-    """File-backed VOC+SBD dataset: decode one (image, label) pair."""
+    """File-backed VOC+SBD dataset: decode one (image, label) pair.
 
-    def __init__(self, cfg: DataConfig, category: str = "train"):
+    ``strong_list``: optional path to a txt file of image ids whose masks
+    are REAL pixel annotations (semi-supervised EM, BASELINE.json config
+    #4). Those images bypass the E-step in the loss and train with
+    ignore-label masking; all others are weak (tags only).
+    """
+
+    def __init__(
+        self, cfg: DataConfig, category: str = "train", strong_list: str | None = None
+    ):
         self.cfg = cfg
         self.category = category
         self.ids, self.img_paths, self.label_paths = read_split(
             cfg.list_dir, category, cfg.main_path, length=cfg.length
         )
+        strong_ids: set[str] = set()
+        if strong_list:
+            with open(strong_list) as f:
+                strong_ids = {line.strip() for line in f if line.strip()}
+        self.is_strong = np.array([i in strong_ids for i in self.ids], bool)
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -58,12 +71,15 @@ class SyntheticVOC:
     real corpus) for tests and benchmarks."""
 
     def __init__(self, n: int = 64, num_classes: int = 21, seed: int = 0,
-                 category: str = "train"):
+                 category: str = "train", strong_fraction: float = 0.0):
         self.n = n
         self.num_classes = num_classes
         self.seed = seed
         self.category = category
         self.ids = [f"synth_{i:06d}" for i in range(n)]
+        self.is_strong = (
+            np.random.default_rng(seed).uniform(size=n) < strong_fraction
+        )
 
     def __len__(self) -> int:
         return self.n
@@ -134,11 +150,15 @@ def batch_iterator(
                 results = list(pool.map(lambda i: load_one(epoch, int(i)), idxs))
                 imgs = np.stack([r[0] for r in results])
                 labels = np.stack([r[1] for r in results])
-                yield {
+                out = {
                     "image": imgs,
                     "label": labels,
                     "id": [dataset.ids[int(i)] for i in idxs],
                 }
+                strong = getattr(dataset, "is_strong", None)
+                if strong is not None and strong.any():
+                    out["is_strong"] = strong[idxs]
+                yield out
             epoch += 1
     finally:
         # Non-blocking teardown: consumers (e.g. Trainer.fit) may abandon

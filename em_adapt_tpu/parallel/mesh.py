@@ -36,15 +36,44 @@ class MeshPlan:
     def num_data_shards(self) -> int:
         return self.mesh.shape[self.data_axis]
 
+    @property
+    def num_space_shards(self) -> int:
+        return self.mesh.shape.get(self.space_axis, 1)
+
     def batch_sharding(self) -> NamedSharding:
-        """Leading (batch) dim sharded over data; rest replicated."""
+        """[B, H, ...] batches: B sharded over data; H sharded over space
+        when the mesh has a nontrivial space axis (spatial partitioning —
+        the conv analogue of sequence/context parallelism, SURVEY.md §5:
+        XLA's SPMD partitioner inserts the halo exchanges for convs and
+        pools over the spatially-sharded activations)."""
+        if self.num_space_shards > 1:
+            return NamedSharding(self.mesh, P(self.data_axis, self.space_axis))
         return NamedSharding(self.mesh, P(self.data_axis))
 
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
+    def _leaf_sharding(self, name: str, v) -> NamedSharding:
+        """Batch dim over data; spatial dim 1 over space for rank>=3
+        image-like arrays (1-D per-image flags stay data-sharded only)."""
+        if self.num_space_shards > 1 and getattr(v, "ndim", 0) >= 3:
+            if v.shape[1] % self.num_space_shards:
+                raise ValueError(
+                    f"spatial sharding: {name} height {v.shape[1]} is not "
+                    f"divisible by the space axis ({self.num_space_shards}); "
+                    f"pick an input size divisible by it (e.g. 321 with "
+                    f"space=3) or set space=1"
+                )
+            return NamedSharding(self.mesh, P(self.data_axis, self.space_axis))
+        return NamedSharding(self.mesh, P(self.data_axis))
+
     def shard_batch(self, batch):
         """Device_put a host pytree of [B, ...] arrays onto the mesh."""
+        if isinstance(batch, dict):
+            return {
+                k: jax.device_put(v, self._leaf_sharding(k, v))
+                for k, v in batch.items()
+            }
         return jax.device_put(batch, self.batch_sharding())
 
     def replicate(self, tree):

@@ -106,10 +106,12 @@ def make_train_step(
         return new_state, metrics
 
     repl = plan.replicated()
-    batch_sh = plan.batch_sharding()
+    # State is pinned replicated; the batch's shardings are inferred from
+    # the (already device_put, per-leaf sharded) arguments — image/label
+    # may be dp+sp sharded while 1-D per-image flags are dp-only.
     return jax.jit(
         step,
-        in_shardings=(repl, batch_sh),
+        in_shardings=(repl, None),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if cfg.train.donate_state else (),
     )
@@ -167,6 +169,8 @@ class Trainer:
         log_fn: Callable[[dict], None] | None = None,
     ) -> TrainState:
         """Run the training loop over an iterable of host batches."""
+        from em_adapt_tpu.utils.failure import GracefulShutdown, LossWatchdog
+
         cfg = self.cfg
         total_steps = (
             num_steps
@@ -178,25 +182,40 @@ class Trainer:
         }
         t0 = time.time()
         n_done = 0
-        for batch in batches:
-            step_idx = int(jax.device_get(state.step))
-            if step_idx >= total_steps:
-                break
-            if cfg.checkpoint.snapshot_on_lr_drop and step_idx in lr_drop_steps:
-                self.checkpointer.save(state, tag="lr")
-            arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
-            state, metrics = self.train_step(state, self.plan.shard_batch(arrays))
-            n_done += 1
-            step_idx += 1
-            if step_idx % cfg.train.log_every_steps == 0 and log_fn is not None:
-                m = jax.device_get(metrics)
-                m.update(
-                    step=step_idx,
-                    epoch=step_idx / self.steps_per_epoch,
-                    lr=float(self.sched(step_idx)),
-                    images_per_sec=n_done * cfg.train.batch_size / (time.time() - t0),
-                )
-                log_fn(m)
-            if step_idx % cfg.checkpoint.save_every_steps == 0:
-                self.checkpointer.save(state, tag="norm")
+        watchdog = LossWatchdog()
+        with GracefulShutdown() as shutdown:
+            for batch in batches:
+                step_idx = int(jax.device_get(state.step))
+                if step_idx >= total_steps:
+                    break
+                if shutdown.requested:
+                    # Preemption / interrupt: persist the full state and
+                    # leave cleanly (the reference would lose up to 6000
+                    # steps here — SURVEY.md §5).
+                    self.checkpointer.save(state, tag="norm")
+                    self.checkpointer.wait()
+                    break
+                if cfg.checkpoint.snapshot_on_lr_drop and step_idx in lr_drop_steps:
+                    self.checkpointer.save(state, tag="lr")
+                arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
+                state, metrics = self.train_step(state, self.plan.shard_batch(arrays))
+                n_done += 1
+                step_idx += 1
+                if step_idx % cfg.train.log_every_steps == 0:
+                    m = jax.device_get(metrics)
+                    reason = watchdog.check(m["loss"])
+                    if reason is not None:
+                        raise RuntimeError(f"training unhealthy: {reason}")
+                    if log_fn is not None:
+                        m.update(
+                            step=step_idx,
+                            epoch=step_idx / self.steps_per_epoch,
+                            lr=float(self.sched(step_idx)),
+                            images_per_sec=n_done
+                            * cfg.train.batch_size
+                            / (time.time() - t0),
+                        )
+                        log_fn(m)
+                if step_idx % cfg.checkpoint.save_every_steps == 0:
+                    self.checkpointer.save(state, tag="norm")
         return state

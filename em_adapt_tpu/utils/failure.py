@@ -1,0 +1,82 @@
+"""Failure detection and graceful-preemption handling.
+
+The reference has none of this (SURVEY.md §5): a crash loses up to 6000
+steps (its checkpoint cadence) and preemption is an uncontrolled kill.
+Here the trainer registers signal handlers (SIGTERM — the preemption
+signal on cloud TPU VMs — and SIGINT): on first delivery a flag flips and
+the training loop checkpoints the full state and exits cleanly at the next
+step boundary; a second signal falls through to the default handler.
+
+NaN/static-loss watchdog: ``LossWatchdog`` flags diverged (non-finite) or
+dead (bitwise-frozen) losses so the driver can stop early instead of
+burning a full schedule.
+"""
+
+from __future__ import annotations
+
+import math
+import signal
+import threading
+
+
+class GracefulShutdown:
+    """Flag-based signal trap; use as a context manager around the loop."""
+
+    SIGNALS = (signal.SIGTERM, signal.SIGINT)
+
+    def __init__(self):
+        self._flag = threading.Event()
+        self._prev = {}
+
+    @property
+    def requested(self) -> bool:
+        return self._flag.is_set()
+
+    def _handler(self, signum, frame):
+        if self._flag.is_set():
+            # second signal: restore default behavior and re-raise
+            signal.signal(signum, self._prev.get(signum, signal.SIG_DFL))
+            signal.raise_signal(signum)
+        self._flag.set()
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for s in self.SIGNALS:
+                self._prev[s] = signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            signal.signal(s, prev)
+        self._prev.clear()
+        return False
+
+
+class LossWatchdog:
+    """Detects diverged (NaN/inf) and dead (frozen) training.
+
+    ``check(loss)`` returns None while healthy, else a reason string.
+    A loss is "dead" if it is bit-identical for ``patience`` consecutive
+    checks — the signature of a broken data pipeline or zero LR.
+    """
+
+    def __init__(self, patience: int = 50):
+        self.patience = patience
+        self._last: float | None = None
+        self._repeat = 0
+
+    def check(self, loss: float) -> str | None:
+        loss = float(loss)
+        if not math.isfinite(loss):
+            return f"non-finite loss: {loss}"
+        if self._last is not None and loss == self._last:
+            self._repeat += 1
+            if self._repeat >= self.patience:
+                return (
+                    f"loss frozen at {loss} for {self._repeat} consecutive "
+                    "checks (dead pipeline or zero LR?)"
+                )
+        else:
+            self._repeat = 0
+        self._last = loss
+        return None

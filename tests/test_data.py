@@ -153,3 +153,26 @@ def test_batch_iterator_eval_order():
         batch_iterator(ds, cfg, batch_size=3, seed=5, epochs=1, train=False)
     )
     assert [i for b in batches for i in b["id"]] == ds.ids
+
+
+def test_semi_supervised_flags_in_batches():
+    ds = SyntheticVOC(n=12, seed=3, strong_fraction=0.5)
+    assert 0 < ds.is_strong.sum() < 12
+    cfg = DataConfig(input_size=(33, 33), num_workers=2)
+    b = next(iter(batch_iterator(ds, cfg, batch_size=6, seed=5, epochs=1, train=True)))
+    assert "is_strong" in b and b["is_strong"].shape == (6,)
+    # all-weak dataset omits the key (pure weak supervision fast path)
+    ds2 = SyntheticVOC(n=12, seed=3)
+    b2 = next(iter(batch_iterator(ds2, cfg, batch_size=6, seed=5, epochs=1, train=True)))
+    assert "is_strong" not in b2
+
+
+def test_voc_strong_list(tmp_path):
+    from em_adapt_tpu.data.pipeline import VOCSegmentation
+
+    (tmp_path / "txt").mkdir()
+    (tmp_path / "txt" / "train.txt").write_text("a\nb\nc\n")
+    (tmp_path / "strong.txt").write_text("b\n")
+    cfg = DataConfig(list_dir=str(tmp_path / "txt"), main_path="root")
+    ds = VOCSegmentation(cfg, "train", strong_list=str(tmp_path / "strong.txt"))
+    assert ds.is_strong.tolist() == [False, True, False]

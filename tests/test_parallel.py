@@ -1,0 +1,69 @@
+"""Mesh construction and sharding plans, incl. dp+sp spatial partitioning."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from em_adapt_tpu.config import (  # noqa: E402
+    EStepConfig,
+    ExperimentConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from em_adapt_tpu.parallel.mesh import make_mesh  # noqa: E402
+
+
+def test_make_mesh_auto_size():
+    plan = make_mesh(MeshConfig(axes=(("data", -1), ("space", 1))))
+    assert plan.num_data_shards == 8
+    assert plan.num_space_shards == 1
+
+
+def test_make_mesh_rejects_bad_split():
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(axes=(("data", 3), ("space", 2))))
+
+
+def test_batch_sharding_specs():
+    plan = make_mesh(MeshConfig(axes=(("data", 4), ("space", 2))))
+    spec = plan.batch_sharding().spec
+    assert tuple(spec) == ("data", "space")
+    plan1 = make_mesh(MeshConfig(axes=(("data", 8), ("space", 1))))
+    assert tuple(plan1.batch_sharding().spec) == ("data",)
+
+
+def test_spatial_shard_batch_divisibility_error():
+    plan = make_mesh(MeshConfig(axes=(("data", 4), ("space", 2))))
+    with pytest.raises(ValueError, match="divisible"):
+        plan.shard_batch({"image": np.zeros((8, 33, 33, 3), np.float32)})
+
+
+def test_dp_sp_train_step_matches_dp_only(rng):
+    """Spatial partitioning is a layout choice: the dp+sp step must compute
+    the same loss as the dp-only step (same seeds, same data)."""
+    from em_adapt_tpu.train import Trainer
+
+    def run(axes):
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_classes=4, input_size=(32, 32), fc6_channels=8),
+            estep=EStepConfig(num_iter=2),
+            optim=OptimConfig(accum_steps=1),
+            train=TrainConfig(batch_size=8),
+            mesh=MeshConfig(axes=axes),
+        )
+        trainer = Trainer(cfg, steps_per_epoch=4)
+        state = trainer.init_state()
+        g = np.random.default_rng(7)
+        batch = {
+            "image": g.normal(size=(8, 32, 32, 3)).astype(np.float32),
+            "label": g.integers(0, 4, size=(8, 32, 32, 1)).astype(np.float32),
+        }
+        state, m = trainer.train_step(state, trainer.plan.shard_batch(batch))
+        return float(jax.device_get(m["loss"]))
+
+    loss_dp = run((("data", 8), ("space", 1)))
+    loss_dpsp = run((("data", 4), ("space", 2)))
+    assert loss_dp == pytest.approx(loss_dpsp, rel=1e-5)
