@@ -19,6 +19,7 @@ the reference's CUDA_VISIBLE_DEVICES argv hack (reference deeplab.py:3).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -60,6 +61,18 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--sbd-cls", default=None, help="SBD benchmark cls dir")
     c.add_argument("--out", required=True, help="output SegmentationClassAug dir")
 
+    pr = sub.add_parser(
+        "predict", help="segment images -> palette PNG masks (serving path)"
+    )
+    pr.add_argument("inputs", nargs="+", help="image files (jpg/png)")
+    pr.add_argument("--out", required=True, help="output directory for masks")
+    pr.add_argument("--checkpoint", default=None, help="checkpoint dir")
+    pr.add_argument("--crf", action="store_true", help="denseCRF refinement")
+    pr.add_argument("--overlay", action="store_true",
+                    help="also write RGB color overlays next to the masks")
+    pr.add_argument("--config", dest="overrides", nargs="*", default=[],
+                    help="config overrides key=value")
+
     sub.add_parser("info", help="print config defaults and device info")
     return p
 
@@ -100,13 +113,34 @@ def cmd_train(args) -> int:
             state = trainer.plan.replicate(state)
             print(f"resumed from step {latest}")
 
+    eval_fn = None
+    if cfg.train.eval_every_steps:
+        from em_adapt_tpu.eval.predict import Evaluator
+
+        if args.synthetic:
+            val_ds = SyntheticVOC(
+                n=max(args.synthetic // 4, 2), num_classes=cfg.model.num_classes,
+                seed=cfg.train.seed + 1, category="val",
+            )
+        else:
+            val_ds = VOCSegmentation(cfg.data, "val")
+        evaluator = Evaluator(cfg, trainer.model)
+
+        def eval_fn(state):
+            vb = batch_iterator(val_ds, cfg.data, batch_size=cfg.eval.batch_size,
+                                seed=0, epochs=1, train=False)
+            miou, _ = evaluator.evaluate_fixed(state.params, vb)
+            return miou
+
     logger = MetricLogger(args.log_jsonl)
     batches = batch_iterator(
         ds, cfg.data, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
         epochs=None, train=True,
     )
     with trace_context(args.profile_dir):
-        state = trainer.fit(state, batches, num_steps=args.steps, log_fn=logger)
+        state = trainer.fit(
+            state, batches, num_steps=args.steps, log_fn=logger, eval_fn=eval_fn
+        )
     trainer.checkpointer.save(state, tag="norm")
     trainer.checkpointer.close()
     logger.close()
@@ -168,6 +202,75 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Batch inference: decode -> preprocess -> logits -> upsample to the
+    original resolution -> (optional CRF) -> palette-indexed PNG mask.
+
+    The prediction recipe is the reference's (bilinear logits upsample +
+    channel argmax, reference network.py:39-41) with the dead predict stub
+    (network.py:57-75) made real; masks use the VOC palette so they drop
+    into any VOC tooling.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from em_adapt_tpu.data.augment import preprocess_eval
+    from em_adapt_tpu.data.voc import VOC_PALETTE, index_to_rgb
+    from em_adapt_tpu.ops.resize import resize_bilinear_tf
+    from em_adapt_tpu.train import Trainer
+
+    cfg = _load_cfg(args.overrides)
+    if args.checkpoint:
+        cfg = cfg.replace(
+            checkpoint=dataclasses.replace(cfg.checkpoint, save_dir=args.checkpoint)
+        )
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state()
+    latest = trainer.checkpointer.latest_step("norm")
+    if latest is not None:
+        state = trainer.checkpointer.restore(jax.device_get(state))
+        print(f"using checkpoint step {latest}")
+    else:
+        print("warning: no checkpoint found; predicting with fresh init")
+
+    model = trainer.model
+    logits_fn = jax.jit(lambda p, x: model.apply(p, x, train=False))
+    os.makedirs(args.out, exist_ok=True)
+
+    palette = [c for rgb in VOC_PALETTE for c in rgb]
+    palette += [224, 224, 192] * (256 - len(VOC_PALETTE))  # void-ish filler
+
+    for path in args.inputs:
+        raw = np.asarray(Image.open(path).convert("RGB"))
+        img, _ = preprocess_eval(raw, None, input_size=cfg.model.input_size)
+        lg = logits_fn(state.params, jnp.asarray(img)[None])[0]
+        up = np.asarray(resize_bilinear_tf(lg, raw.shape[:2]))
+        if args.crf:
+            from em_adapt_tpu.eval.crf import dense_crf
+
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(up), axis=-1))
+            up = dense_crf(probs, raw, cfg.eval)
+        pred = up.argmax(-1).astype(np.uint8)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        mask = Image.fromarray(pred, mode="P")
+        mask.putpalette(palette)
+        mask_path = os.path.join(args.out, f"{stem}.png")
+        mask.save(mask_path)
+        msg = mask_path
+        if args.overlay:
+            overlay = (0.5 * raw + 0.5 * index_to_rgb(pred)).astype(np.uint8)
+            ov_path = os.path.join(args.out, f"{stem}_overlay.png")
+            Image.fromarray(overlay).save(ov_path)
+            msg += f" (+ {os.path.basename(ov_path)})"
+        classes = [int(c) for c in np.unique(pred)]
+        print(f"{path} -> {msg}  classes={classes}")
+    return 0
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -187,6 +290,7 @@ def main(argv=None) -> int:
         "train": cmd_train,
         "eval": cmd_eval,
         "convert": cmd_convert,
+        "predict": cmd_predict,
         "info": cmd_info,
     }[args.command](args)
 

@@ -27,9 +27,11 @@ class EStepConfig:
     num_iter: int = 5
     suppress_others: bool = True
     margin_others: float = 1e-5
-    #: "jax" (pure-XLA, portable), "pallas" (fused TPU kernel),
-    #: or "native" (host C++ via ctypes — CPU pipelines / oracle checks only).
-    impl: str = "jax"
+    #: "auto" (fused Pallas kernel on TPU — measured 1.4x faster than the
+    #: XLA sort lowering — pure-XLA elsewhere), "jax" (portable), "pallas"
+    #: (force the kernel; interpreted off-TPU), or "native" (host C++ via
+    #: ctypes — CPU pipelines / oracle checks only).
+    impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +57,10 @@ class ModelConfig:
     #: Parameter/compute dtype. f32 for parity; bf16 params are kept f32 with
     #: bf16 compute when set to "bfloat16".
     compute_dtype: str = "float32"
+    #: Rematerialize each VGG block in the backward pass (jax.checkpoint):
+    #: trades ~1 extra forward of FLOPs for dropping all intra-block
+    #: activations from HBM — enables much larger per-chip batches.
+    remat: bool = False
     #: Path to the Caffe-converted ``init.npy`` (reference deeplab.py:293).
     #: ``None`` -> random init (stddev 0.01 normal, zero bias;
     #: reference deeplab.py:151-154).
@@ -144,6 +150,10 @@ class TrainConfig:
     epochs: int = 40  # reference deeplab.py:291
     seed: int = 0
     log_every_steps: int = 500  # reference deeplab.py:273
+    #: Run validation every N steps and keep a "best"-mIoU checkpoint (the
+    #: reference created a "best" saver but never used it, network.py:102).
+    #: None disables periodic eval.
+    eval_every_steps: int | None = None
     #: Donate train state buffers to the jitted step.
     donate_state: bool = True
 

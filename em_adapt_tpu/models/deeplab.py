@@ -168,13 +168,27 @@ class DeepLabLargeFOV:
             raise ValueError("train=True requires a dropout rng")
         drop_keys = jax.random.split(rng, 2) if train else (None, None)
 
+        def block(h, specs, block_params):
+            for (name, rate), p in zip(specs, block_params):
+                h = conv2d_same(h, p["w"], p["b"], rate=rate, compute_dtype=compute_dtype)
+                h = jax.nn.relu(h)
+                if name in POOLS:
+                    h = max_pool_same(h, window=3, stride=POOLS[name])
+            return h
+
+        if cfg.remat:
+            block = jax.checkpoint(block, static_argnums=(1,))
+
+        # Group conv specs into the 5 VGG blocks (split after each pool).
         h = x
+        cur_specs: list[tuple[str, int]] = []
+        cur_params: list[dict] = []
         for name, _, _, _, _, rate in VGG_CONV_SPECS:
-            p = params[name]
-            h = conv2d_same(h, p["w"], p["b"], rate=rate, compute_dtype=compute_dtype)
-            h = jax.nn.relu(h)
+            cur_specs.append((name, rate))
+            cur_params.append(params[name])
             if name in POOLS:
-                h = max_pool_same(h, window=3, stride=POOLS[name])
+                h = block(h, tuple(cur_specs), tuple(cur_params))
+                cur_specs, cur_params = [], []
 
         # Atrous-FC head.
         h = conv2d_same(

@@ -148,7 +148,10 @@ def estep_labels(
     (reference deeplab.py:122-123); py_func has no gradient, which we make
     explicit with ``stop_gradient``.
     """
-    if cfg.impl == "pallas":
+    use_pallas = cfg.impl == "pallas" or (
+        cfg.impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
         from em_adapt_tpu.ops.estep_pallas import estep_pallas as impl
     else:
         impl = estep

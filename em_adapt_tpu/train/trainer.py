@@ -144,6 +144,7 @@ class Trainer:
         self.tx, self.sched = build_optimizer(cfg.optim, self.steps_per_epoch)
         self.train_step = make_train_step(self.model, cfg, self.tx, self.plan)
         self._ckpt = None
+        self._best_metric = float("-inf")
 
     def init_state(self, seed: int | None = None) -> TrainState:
         seed = self.cfg.train.seed if seed is None else seed
@@ -167,8 +168,14 @@ class Trainer:
         *,
         num_steps: int | None = None,
         log_fn: Callable[[dict], None] | None = None,
+        eval_fn: Callable[[TrainState], float] | None = None,
     ) -> TrainState:
-        """Run the training loop over an iterable of host batches."""
+        """Run the training loop over an iterable of host batches.
+
+        ``eval_fn(state) -> metric`` (higher is better, e.g. val mIoU) runs
+        every ``cfg.train.eval_every_steps``; improvements are checkpointed
+        under the "best" tag.
+        """
         from em_adapt_tpu.utils.failure import GracefulShutdown, LossWatchdog
 
         cfg = self.cfg
@@ -216,6 +223,17 @@ class Trainer:
                             / (time.time() - t0),
                         )
                         log_fn(m)
+                if (
+                    eval_fn is not None
+                    and cfg.train.eval_every_steps
+                    and step_idx % cfg.train.eval_every_steps == 0
+                ):
+                    score = float(eval_fn(state))
+                    if log_fn is not None:
+                        log_fn({"step": step_idx, "val_metric": score})
+                    if score > self._best_metric:
+                        self._best_metric = score
+                        self.checkpointer.save(state, tag="best")
                 if step_idx % cfg.checkpoint.save_every_steps == 0:
                     self.checkpointer.save(state, tag="norm")
         return state

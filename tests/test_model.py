@@ -135,3 +135,23 @@ def test_predict_upsamples_to_input():
     assert up.shape == (2, 65, 65, 5)
     assert pred.shape == (2, 65, 65)
     assert pred.dtype == jnp.int32
+
+
+def test_remat_identical_forward_and_grads():
+    """remat=True must be a pure memory/time trade: bit-identical outputs."""
+    import jax.numpy as jnp
+
+    z = np.load(os.path.join(FIX, "model_small.npz"))
+    params = small_params_from_fixture(z)
+    x = jnp.asarray(z["x"])
+    base = DeepLabLargeFOV(SMALL_CFG)
+    rem = DeepLabLargeFOV(
+        ModelConfig(num_classes=5, input_size=(65, 65), fc6_channels=48, remat=True)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.apply(params, x)), np.asarray(rem.apply(params, x))
+    )
+    g1 = jax.grad(lambda p: float(0) + jnp.sum(base.apply(p, x)))(params)
+    g2 = jax.grad(lambda p: float(0) + jnp.sum(rem.apply(p, x)))(params)
+    for n in g1:
+        np.testing.assert_array_equal(np.asarray(g1[n]["w"]), np.asarray(g2[n]["w"]))

@@ -167,3 +167,26 @@ def test_trainer_fit_loop(rng, tmp_path):
     # lr snapshot at the epoch-1 boundary (tiny schedule drops at epoch 1)
     assert trainer.checkpointer.latest_step("lr") == 3
     trainer.checkpointer.close()
+
+
+def test_fit_periodic_eval_saves_best(rng, tmp_path):
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=10**6, async_save=False
+        ),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, log_every_steps=100,
+                          eval_every_steps=2),
+        optim=OptimConfig(accum_steps=2, lr_schedule=()),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.init_state()
+    scores = iter([0.1, 0.3, 0.2])  # improves, improves, regresses
+
+    state = trainer.fit(
+        state,
+        (tiny_batch(rng) for _ in range(10)),
+        eval_fn=lambda s: next(scores),
+    )
+    # best saved at steps 2 and 4 (improvements), not at 6
+    assert trainer.checkpointer.latest_step("best") == 4
+    trainer.checkpointer.close()
