@@ -73,6 +73,15 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--config", dest="overrides", nargs="*", default=[],
                     help="config overrides key=value")
 
+    ex = sub.add_parser(
+        "export", help="serialize the predict fn as a StableHLO artifact"
+    )
+    ex.add_argument("--out", required=True, help="output .stablehlo path")
+    ex.add_argument("--checkpoint", default=None, help="checkpoint dir")
+    ex.add_argument("--batch-size", type=int, default=None)
+    ex.add_argument("--config", dest="overrides", nargs="*", default=[],
+                    help="config overrides key=value")
+
     sub.add_parser("info", help="print config defaults and device info")
     return p
 
@@ -271,6 +280,34 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    import dataclasses
+
+    import jax
+
+    from em_adapt_tpu.eval.export import export_predict_fn
+    from em_adapt_tpu.train import Trainer
+
+    cfg = _load_cfg(args.overrides)
+    if args.checkpoint:
+        cfg = cfg.replace(
+            checkpoint=dataclasses.replace(cfg.checkpoint, save_dir=args.checkpoint)
+        )
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state()
+    latest = trainer.checkpointer.latest_step("norm")
+    if latest is not None:
+        state = trainer.checkpointer.restore(jax.device_get(state))
+        print(f"exporting checkpoint step {latest}")
+    else:
+        print("warning: no checkpoint found; exporting fresh init")
+    blob = export_predict_fn(cfg, trainer.model, state.params, args.batch_size)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB)")
+    return 0
+
+
 def cmd_info(_args) -> int:
     import jax
 
@@ -291,6 +328,7 @@ def main(argv=None) -> int:
         "eval": cmd_eval,
         "convert": cmd_convert,
         "predict": cmd_predict,
+        "export": cmd_export,
         "info": cmd_info,
     }[args.command](args)
 

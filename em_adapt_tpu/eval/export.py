@@ -1,0 +1,43 @@
+"""Serialized inference artifacts (jax.export / StableHLO).
+
+The reference registers graph collections so a reloaded TF metagraph can
+be driven without the model-building code (reference network.py:97-98,
+deeplab.py:221). The TPU-native equivalent is ``jax.export``: the jitted
+predict function (preprocessed image -> upsampled probabilities + hard
+labels) is serialized as a versioned StableHLO artifact that any JAX
+process can load and call WITHOUT this package's model code — the serving
+hand-off format.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from em_adapt_tpu.config import ExperimentConfig
+
+
+def export_predict_fn(cfg: ExperimentConfig, model, params, batch_size: int | None = None) -> bytes:
+    """Serialize predict(images) -> (probs, labels) with params baked in.
+
+    images: [B, H, W, 3] float32, already preprocessed (BGR, mean-sub).
+    Returns the serialized artifact bytes (write to a .stablehlo file).
+    """
+    h, w = cfg.model.input_size
+    b = batch_size or cfg.eval.batch_size
+    frozen = jax.device_get(params)  # bake weights as constants
+
+    def predict(images):
+        up, pred = model.predict(frozen, images)
+        return jax.nn.softmax(up, axis=-1), pred
+
+    spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(predict))(spec)
+    return bytes(exported.serialize())
+
+
+def load_predict_fn(blob: bytes):
+    """Rehydrate a serialized artifact into a callable(images)."""
+    exported = jax_export.deserialize(blob)
+    return lambda images: exported.call(images)

@@ -155,8 +155,11 @@ def estep_labels(
         from em_adapt_tpu.ops.estep_pallas import estep_pallas as impl
     else:
         impl = estep
+    # Stop gradients BEFORE the E-step: EM treats its output as a fixed
+    # target anyway, and a Pallas call has no JVP rule — with live tangents
+    # on its inputs, linearization under jit(grad(...)) would fail.
     biased = impl(
-        scores,
+        jax.lax.stop_gradient(scores),
         label,
         orders,
         bg_p=cfg.bg_p,
@@ -165,5 +168,4 @@ def estep_labels(
         suppress_others=cfg.suppress_others,
         margin_others=cfg.margin_others,
     )
-    biased = jax.lax.stop_gradient(biased)
     return jnp.argmax(biased, axis=3).astype(jnp.int32)

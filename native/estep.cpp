@@ -103,24 +103,34 @@ int emadapt_estep(const float* scores, float* out, const int32_t* labels,
 
   const int64_t k_bg = int64_t(double(HW) * bg_p);
   const int64_t k_fg = int64_t(double(HW) * fg_p);
-  std::vector<float> diff(HW);
 
-  for (int it = 0; it < num_iter; ++it) {
-    const int32_t* row = orders + int64_t(it) * (C - 1);
-    for (int step = 0; step < C; ++step) {
-      const int32_t j = (step == 0) ? 0 : row[step - 1];
-      if (j < 0 || j >= C) return 3;
-      const int64_t k = (j == 0) ? k_bg : k_fg;
-      for (int b = 0; b < B; ++b) {
-        if (!tags[size_t(b) * C + j]) continue;
-        float* img = out + b * img_elems;
-        for (int64_t p = 0; p < HW; ++p) {
-          const float* px = img + p * C;
-          diff[p] = pixel_max(px, C) - px[j];
+  // Validate the visit schedule up front (clean error instead of UB).
+  for (int64_t i = 0; i < int64_t(num_iter) * (C - 1); ++i)
+    if (orders[i] < 0 || orders[i] >= C) return 3;
+
+  // Images are independent given the shared visit schedule: parallelize
+  // the batch across host threads (the reference's kernel was strictly
+  // serial — and broken for batch > 1).
+#pragma omp parallel
+  {
+    std::vector<float> diff(HW);
+#pragma omp for schedule(static)
+    for (int b = 0; b < B; ++b) {
+      float* img = out + b * img_elems;
+      for (int it = 0; it < num_iter; ++it) {
+        const int32_t* row = orders + int64_t(it) * (C - 1);
+        for (int step = 0; step < C; ++step) {
+          const int32_t j = (step == 0) ? 0 : row[step - 1];
+          if (!tags[size_t(b) * C + j]) continue;
+          const int64_t k = (j == 0) ? k_bg : k_fg;
+          for (int64_t p = 0; p < HW; ++p) {
+            const float* px = img + p * C;
+            diff[p] = pixel_max(px, C) - px[j];
+          }
+          std::nth_element(diff.begin(), diff.begin() + k, diff.end());
+          const float th = diff[k];
+          for (int64_t p = 0; p < HW; ++p) img[p * C + j] += th;
         }
-        std::nth_element(diff.begin(), diff.begin() + k, diff.end());
-        const float th = diff[k];
-        for (int64_t p = 0; p < HW; ++p) img[p * C + j] += th;
       }
     }
   }

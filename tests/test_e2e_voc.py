@@ -1,0 +1,132 @@
+"""End-to-end rehearsal of the real VOC workflow on a miniature on-disk
+dataset: convert -> file-backed pipeline -> EM training -> VOC-protocol
+eval -> original-resolution prediction. This is the exact user path of the
+reference (convert.py, then deeplab.py train, then external eval) in one
+test, minus the 10,582 real images.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from em_adapt_tpu.config import (  # noqa: E402
+    CheckpointConfig,
+    DataConfig,
+    EStepConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def voc_tree(tmp_path_factory):
+    """Build a miniature VOC2012-layout tree: JPEGs + RGB-coded masks that
+    go through the convert tool, plus txt split lists."""
+    from PIL import Image
+
+    from em_adapt_tpu.data.voc import VOC_PALETTE, convert_dataset
+
+    root = tmp_path_factory.mktemp("pascal")
+    main = root / "VOCdevkit" / "VOC2012"
+    (main / "JPEGImages").mkdir(parents=True)
+    (main / "SegmentationClass").mkdir(parents=True)
+    (root / "txt").mkdir()
+
+    g = np.random.default_rng(0)
+    ids = {"train": [], "val": []}
+    for split, n in (("train", 8), ("val", 3)):
+        for i in range(n):
+            img_id = f"2012_{split}{i:03d}"
+            ids[split].append(img_id)
+            h = int(g.integers(60, 120))
+            w = int(g.integers(60, 120))
+            img = g.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            Image.fromarray(img).save(main / "JPEGImages" / f"{img_id}.jpg")
+            # RGB-coded mask with 2-3 classes + void border
+            mask = np.zeros((h, w, 3), np.uint8)
+            c1, c2 = g.integers(1, 21, size=2)
+            mask[: h // 2] = VOC_PALETTE[int(c1)]
+            mask[h // 2 :, : w // 2] = VOC_PALETTE[int(c2)]
+            mask[0, :] = (224, 224, 192)
+            Image.fromarray(mask).save(main / "SegmentationClass" / f"{img_id}.png")
+        (root / "txt" / f"{split}.txt").write_text("\n".join(ids[split]) + "\n")
+
+    convert_dataset(
+        str(main / "SegmentationClass"), None,
+        str(main / "SegmentationClassAug"), log=lambda *a: None,
+    )
+    return root, main
+
+
+def test_full_voc_workflow(voc_tree, tmp_path):
+    root, main = voc_tree
+    from em_adapt_tpu.data import VOCSegmentation, batch_iterator
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=21, input_size=(33, 33), fc6_channels=8),
+        data=DataConfig(
+            main_path=str(main), list_dir=str(root / "txt"),
+            input_size=(33, 33), num_workers=2,
+        ),
+        estep=EStepConfig(num_iter=2),
+        optim=OptimConfig(accum_steps=2, lr_schedule=()),
+        train=TrainConfig(batch_size=8, epochs=4, log_every_steps=2),
+        checkpoint=CheckpointConfig(
+            save_dir=str(tmp_path / "saver"), save_every_steps=100, async_save=False
+        ),
+    )
+
+    train_ds = VOCSegmentation(cfg.data, "train")
+    assert len(train_ds) == 8
+    img, lab = train_ds.load_raw(0)
+    assert img.ndim == 3 and lab.ndim == 2
+    assert set(np.unique(lab)) <= set(range(21)) | {255}
+
+    trainer = Trainer(cfg, steps_per_epoch=max(len(train_ds) // 8, 1))
+    state = trainer.init_state()
+    logs = []
+    batches = batch_iterator(train_ds, cfg.data, batch_size=8, seed=0, epochs=None)
+    state = trainer.fit(state, batches, log_fn=logs.append)
+    assert int(jax.device_get(state.step)) == 4
+    assert logs and np.isfinite(logs[-1]["loss"])
+
+    # VOC-protocol eval at original resolutions (all different sizes).
+    val_ds = VOCSegmentation(cfg.data, "val")
+    ev = Evaluator(cfg, trainer.model)
+    miou, iou = ev.evaluate_voc(state.params, val_ds, use_crf=False, batch_size=2)
+    assert 0.0 <= miou <= 1.0
+    assert len(iou) == 21
+
+    trainer.checkpointer.save(state, tag="norm")
+    trainer.checkpointer.wait()
+    assert trainer.checkpointer.latest_step("norm") == 4
+    trainer.checkpointer.close()
+
+
+def test_predict_cli_on_voc_images(voc_tree, tmp_path):
+    """Drive the serving CLI end-to-end on the miniature tree."""
+    from em_adapt_tpu import cli
+
+    root, main = voc_tree
+    img = str(main / "JPEGImages" / "2012_val000.jpg")
+    out = tmp_path / "preds"
+    rc = cli.main([
+        "predict", img, "--out", str(out),
+        "--config",
+        "model.num_classes=21", "model.input_size=(33,33)", "model.fc6_channels=8",
+        f"checkpoint.save_dir={tmp_path / 'nock'}",
+    ])
+    assert rc == 0
+    from PIL import Image
+
+    mask = Image.open(out / "2012_val000.png")
+    assert mask.mode == "P"
+    orig = Image.open(img)
+    assert mask.size == orig.size

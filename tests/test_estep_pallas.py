@@ -78,3 +78,26 @@ def test_pallas_threshold_bitexact_single_class(rng):
     )
     np.testing.assert_array_equal(got.argmax(3), want.argmax(3))
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
+
+
+def test_pallas_estep_labels_under_grad(rng):
+    """estep_labels with the pallas impl must be differentiable-through
+    (inputs are stop-gradient'd BEFORE the kernel; a Pallas call has no JVP
+    rule, so live tangents on its inputs would break jit(grad(...)))."""
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.config import EStepConfig
+    from em_adapt_tpu.ops.estep import estep_labels, make_class_orders
+
+    b, h, w, c = 2, 8, 8, 4
+    scores = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, c, size=(b, h, w)).astype(np.float32))
+    orders = make_class_orders(jax.random.key(0), 2, c)
+    cfg = EStepConfig(num_iter=2, impl="pallas")
+
+    def loss(x):
+        weak = estep_labels(x, label, orders, cfg)
+        return jnp.sum(x * weak.astype(jnp.float32)[..., None])
+
+    g = jax.jit(jax.grad(loss))(scores)
+    assert bool(jnp.isfinite(g).all())
