@@ -45,6 +45,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "real pixel masks (E-step bypassed for them)")
     t.add_argument("--strong-fraction", type=float, default=0.0,
                    help="with --synthetic: fraction of strongly-labeled images")
+    t.add_argument("--multihost", action="store_true",
+                   help="multi-host (DCN) training: call "
+                        "jax.distributed.initialize() so every host joins the "
+                        "global mesh (coordinator/process env vars per the "
+                        "standard JAX multi-controller runtime)")
     t.add_argument("overrides", nargs="*", help="config overrides key=value")
 
     e = sub.add_parser("eval", help="evaluate mIoU on the val split")
@@ -94,6 +99,13 @@ def _load_cfg(overrides):
 
 def cmd_train(args) -> int:
     import jax
+
+    if getattr(args, "multihost", False):
+        # Multi-host (DCN) runtime: each host contributes its local chips to
+        # one global mesh; XLA routes the gradient psum over ICI within a
+        # slice and DCN across slices. Coordinator address/process id come
+        # from the standard JAX env (auto-detected on Cloud TPU).
+        jax.distributed.initialize()
 
     from em_adapt_tpu.data import SyntheticVOC, VOCSegmentation, batch_iterator
     from em_adapt_tpu.train import Trainer
