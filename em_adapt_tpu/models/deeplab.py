@@ -179,8 +179,10 @@ class DeepLabLargeFOV:
         if cfg.remat:
             block = jax.checkpoint(block, static_argnums=(1,))
 
-        # Group conv specs into the 5 VGG blocks (split after each pool).
-        h = x
+        # Keep the whole trunk in the compute dtype: one cast at entry,
+        # f32 logits at the exit. Per-layer f32<->bf16 round trips would
+        # double the activation HBM traffic (measured ~11% slower backward).
+        h = x if compute_dtype is None else x.astype(compute_dtype)
         cur_specs: list[tuple[str, int]] = []
         cur_params: list[dict] = []
         for name, _, _, _, _, rate in VGG_CONV_SPECS:
@@ -204,9 +206,11 @@ class DeepLabLargeFOV:
         h = jax.nn.relu(h)
         if train:
             h = _dropout(h, drop_keys[1], cfg.dropout_keep_prob)
-        return conv2d_same(
+        logits = conv2d_same(
             h, params["fc8"]["w"], params["fc8"]["b"], compute_dtype=compute_dtype
         )
+        # Loss/E-step/eval consume f32 logits regardless of compute dtype.
+        return logits.astype(jnp.float32)
 
     def predict(self, params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Upsampled probabilities + hard prediction at input resolution
