@@ -24,6 +24,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from em_adapt_tpu.config import MeshConfig
 
 
+#: Parameter leaves sharded over the ``model`` axis (tensor parallelism for
+#: the wide atrous-FC head; megatron-style column-parallel fc6 then
+#: row-parallel fc7 — XLA's SPMD partitioner inserts the all-gathers /
+#: reduce-scatters). Maps (layer, leaf) -> dim to shard.
+TP_RULES: dict[tuple[str, str], int] = {
+    ("fc6", "w"): 3,  # [kh,kw,cin,cout] -> split cout (column parallel)
+    ("fc6", "b"): 0,
+    ("fc7", "w"): 2,  # [1,1,cin,cout]  -> split cin  (row parallel)
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshPlan:
     """A mesh plus the sharding rules the trainer uses."""
@@ -31,10 +42,15 @@ class MeshPlan:
     mesh: Mesh
     data_axis: str
     space_axis: str
+    model_axis: str = "model"
 
     @property
     def num_data_shards(self) -> int:
         return self.mesh.shape[self.data_axis]
+
+    @property
+    def num_model_shards(self) -> int:
+        return self.mesh.shape.get(self.model_axis, 1)
 
     @property
     def num_space_shards(self) -> int:
@@ -52,6 +68,31 @@ class MeshPlan:
 
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
+
+    def param_sharding(self, layer: str, leaf: str, ndim: int) -> NamedSharding:
+        """Sharding for one parameter leaf: TP_RULES over the model axis
+        when it is nontrivial, else replicated."""
+        if self.num_model_shards > 1 and (layer, leaf) in TP_RULES:
+            dim = TP_RULES[(layer, leaf)]
+            spec = [None] * ndim
+            spec[dim] = self.model_axis
+            return NamedSharding(self.mesh, P(*spec))
+        return self.replicated()
+
+    def state_sharding(self, state):
+        """Per-leaf shardings for a TrainState-shaped pytree: parameter-like
+        leaves (paths ending in <layer>/<'w'|'b'>) follow param_sharding —
+        optimizer slots mirror their parameters — everything else is
+        replicated."""
+        import jax.tree_util as jtu
+
+        def leaf_sharding(path, leaf):
+            keys = [p.key for p in path if hasattr(p, "key")]
+            if len(keys) >= 2 and keys[-1] in ("w", "b"):
+                return self.param_sharding(keys[-2], keys[-1], getattr(leaf, "ndim", 0))
+            return self.replicated()
+
+        return jtu.tree_map_with_path(leaf_sharding, state)
 
     def _leaf_sharding(self, name: str, v) -> NamedSharding:
         """Batch dim over data; spatial dim 1 over space for rank>=3

@@ -85,13 +85,19 @@ def loss_fn(
 
 
 def make_train_step(
-    model, cfg: ExperimentConfig, tx: optax.GradientTransformation, plan: MeshPlan
+    model,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    plan: MeshPlan,
+    state_shardings=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Build the jitted, mesh-sharded microbatch step.
 
-    State is replicated; the batch is sharded on the data axis; XLA inserts
-    the gradient all-reduce over ICI because the (replicated) grads depend
-    on sharded inputs.
+    State is replicated (or, with a nontrivial ``model`` axis, sharded per
+    ``plan.state_sharding`` — tensor parallelism for the fc head); the
+    batch is sharded on the data (and optionally space) axes. XLA inserts
+    every collective: the gradient psum over data, and the all-gathers /
+    reduce-scatters the TP layout implies.
     """
 
     def step(state: TrainState, batch: dict):
@@ -106,13 +112,14 @@ def make_train_step(
         return new_state, metrics
 
     repl = plan.replicated()
-    # State is pinned replicated; the batch's shardings are inferred from
-    # the (already device_put, per-leaf sharded) arguments — image/label
-    # may be dp+sp sharded while 1-D per-image flags are dp-only.
+    state_sh = state_shardings if state_shardings is not None else repl
+    # The batch's shardings are inferred from the (already device_put,
+    # per-leaf sharded) arguments — image/label may be dp+sp sharded while
+    # 1-D per-image flags are dp-only.
     return jax.jit(
         step,
-        in_shardings=(repl, None),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, None),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if cfg.train.donate_state else (),
     )
 
@@ -142,15 +149,25 @@ class Trainer:
         # callers with a real dataset pass it in, tests may use a constant.
         self.steps_per_epoch = steps_per_epoch or 1
         self.tx, self.sched = build_optimizer(cfg.optim, self.steps_per_epoch)
-        self.train_step = make_train_step(self.model, cfg, self.tx, self.plan)
+        self.state_shardings = None
+        if self.plan.num_model_shards > 1:
+            abstract = jax.eval_shape(lambda: self._build_state(jax.random.key(0)))
+            self.state_shardings = self.plan.state_sharding(abstract)
+        self.train_step = make_train_step(
+            self.model, cfg, self.tx, self.plan, self.state_shardings
+        )
         self._ckpt = None
         self._best_metric = float("-inf")
 
+    def _build_state(self, key: jax.Array) -> TrainState:
+        k_params, k_state = jax.random.split(key)
+        return TrainState.create(self.model.init(k_params), self.tx, k_state)
+
     def init_state(self, seed: int | None = None) -> TrainState:
         seed = self.cfg.train.seed if seed is None else seed
-        k_params, k_state = jax.random.split(jax.random.key(seed))
-        params = self.model.init(k_params)
-        state = TrainState.create(params, self.tx, k_state)
+        state = self._build_state(jax.random.key(seed))
+        if self.state_shardings is not None:
+            return jax.device_put(state, self.state_shardings)
         return self.plan.replicate(state)
 
     @property

@@ -67,3 +67,35 @@ def test_dp_sp_train_step_matches_dp_only(rng):
     loss_dp = run((("data", 8), ("space", 1)))
     loss_dpsp = run((("data", 4), ("space", 2)))
     assert loss_dp == pytest.approx(loss_dpsp, rel=1e-5)
+
+
+def test_dp_sp_tp_train_step_matches_dp_only(rng):
+    """Adding tensor parallelism of the fc head (model axis) must not
+    change the computed loss."""
+    from em_adapt_tpu.train import Trainer
+
+    def run(axes):
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_classes=4, input_size=(32, 32), fc6_channels=16),
+            estep=EStepConfig(num_iter=2),
+            optim=OptimConfig(accum_steps=1),
+            train=TrainConfig(batch_size=8),
+            mesh=MeshConfig(axes=axes),
+        )
+        trainer = Trainer(cfg, steps_per_epoch=4)
+        state = trainer.init_state()
+        g = np.random.default_rng(7)
+        batch = {
+            "image": g.normal(size=(8, 32, 32, 3)).astype(np.float32),
+            "label": g.integers(0, 4, size=(8, 32, 32, 1)).astype(np.float32),
+        }
+        state, m = trainer.train_step(state, trainer.plan.shard_batch(batch))
+        if trainer.state_shardings is not None:
+            assert "model" in str(state.params["fc6"]["w"].sharding.spec)
+        return float(jax.device_get(m["loss"]))
+
+    import pytest as _pytest
+
+    loss_dp = run((("data", 8), ("space", 1)))
+    loss_tp = run((("data", 2), ("space", 2), ("model", 2)))
+    assert loss_dp == _pytest.approx(loss_tp, abs=2e-5)
