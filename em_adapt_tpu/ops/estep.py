@@ -148,8 +148,14 @@ def estep_labels(
     (reference deeplab.py:122-123); py_func has no gradient, which we make
     explicit with ``stop_gradient``.
     """
+    b, h, w, c = scores.shape
+    # The Pallas kernel keeps the whole batch resident in VMEM
+    # ([C,B,HW] in + out + scratch); guard against huge inputs.
+    vmem_bytes = (2 * c + 2) * b * h * w * 4
     use_pallas = cfg.impl == "pallas" or (
-        cfg.impl == "auto" and jax.default_backend() == "tpu"
+        cfg.impl == "auto"
+        and jax.default_backend() == "tpu"
+        and vmem_bytes < 10 * 1024 * 1024
     )
     if use_pallas:
         from em_adapt_tpu.ops.estep_pallas import estep_pallas as impl
