@@ -50,6 +50,13 @@ def _build_parser() -> argparse.ArgumentParser:
                         "jax.distributed.initialize() so every host joins the "
                         "global mesh (coordinator/process env vars per the "
                         "standard JAX multi-controller runtime)")
+    t.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="with --multihost: explicit coordinator address "
+                        "(default: auto-detect from the cluster environment)")
+    t.add_argument("--num-processes", type=int, default=None,
+                   help="with --coordinator: total process count")
+    t.add_argument("--process-id", type=int, default=None,
+                   help="with --coordinator: this process's id")
     t.add_argument("overrides", nargs="*", help="config overrides key=value")
 
     e = sub.add_parser("eval", help="evaluate mIoU on the val split")
@@ -104,13 +111,24 @@ def cmd_train(args) -> int:
         # Multi-host (DCN) runtime: each host contributes its local chips to
         # one global mesh; XLA routes the gradient psum over ICI within a
         # slice and DCN across slices. Coordinator address/process id come
-        # from the standard JAX env (auto-detected on Cloud TPU).
-        jax.distributed.initialize()
+        # from the standard JAX env (auto-detected on Cloud TPU) or from
+        # the explicit --coordinator/--num-processes/--process-id flags
+        # (CPU dryruns, bespoke clusters).
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     from em_adapt_tpu.data import SyntheticVOC, VOCSegmentation, batch_iterator
     from em_adapt_tpu.train import Trainer
     from em_adapt_tpu.utils import MetricLogger, trace_context
 
+    is_main = jax.process_index() == 0
+    process_shard = (jax.process_index(), jax.process_count())
     cfg = _load_cfg(args.overrides)
     if args.strong_list or args.strong_fraction > 0:
         cfg = cfg.replace(semi_supervised=True)
@@ -120,8 +138,10 @@ def cmd_train(args) -> int:
     else:
         ds = VOCSegmentation(cfg.data, "train", strong_list=args.strong_list)
     steps_per_epoch = max(len(ds) // cfg.train.batch_size, 1)
-    print(f"dataset: {len(ds)} images, {steps_per_epoch} steps/epoch, "
-          f"devices: {jax.device_count()} ({jax.devices()[0].platform})")
+    if is_main:
+        print(f"dataset: {len(ds)} images, {steps_per_epoch} steps/epoch, "
+              f"devices: {jax.device_count()} ({jax.devices()[0].platform}), "
+              f"processes: {jax.process_count()}")
 
     trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch)
     state = trainer.init_state()
@@ -130,12 +150,18 @@ def cmd_train(args) -> int:
         if latest is None:
             print("--resume: no checkpoint found, starting fresh")
         else:
-            state = trainer.checkpointer.restore(jax.device_get(state))
-            state = trainer.plan.replicate(state)
+            # restore_state materializes straight onto the mesh with the
+            # trainer's shardings (TP leaves come back model-sharded, not
+            # replicated) and works under multi-host too.
+            state = trainer.restore_state()
             print(f"resumed from step {latest}")
 
     eval_fn = None
-    if cfg.train.eval_every_steps:
+    if cfg.train.eval_every_steps and jax.process_count() > 1:
+        if is_main:
+            print("warning: periodic eval is disabled under --multihost "
+                  "(run em-adapt eval separately against the checkpoints)")
+    elif cfg.train.eval_every_steps:
         from em_adapt_tpu.eval.predict import Evaluator
 
         if args.synthetic:
@@ -148,15 +174,22 @@ def cmd_train(args) -> int:
         evaluator = Evaluator(cfg, trainer.model)
 
         def eval_fn(state):
+            params = state.params
+            if cfg.train.eval_protocol == "voc":
+                # Exact VOC protocol (per-image original-resolution compare)
+                # so "best" selection matches the headline-number protocol.
+                miou, _ = evaluator.evaluate_voc(params, val_ds)
+                return miou
             vb = batch_iterator(val_ds, cfg.data, batch_size=cfg.eval.batch_size,
-                                seed=0, epochs=1, train=False)
-            miou, _ = evaluator.evaluate_fixed(state.params, vb)
+                                seed=0, epochs=1, train=False,
+                                drop_remainder=False, pad_remainder=True)
+            miou, _ = evaluator.evaluate_fixed(params, vb)
             return miou
 
-    logger = MetricLogger(args.log_jsonl)
+    logger = MetricLogger(args.log_jsonl) if is_main else None
     batches = batch_iterator(
         ds, cfg.data, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
-        epochs=None, train=True,
+        epochs=None, train=True, process_shard=process_shard,
     )
     with trace_context(args.profile_dir):
         state = trainer.fit(
@@ -164,8 +197,10 @@ def cmd_train(args) -> int:
         )
     trainer.checkpointer.save(state, tag="norm")
     trainer.checkpointer.close()
-    logger.close()
-    print(f"done at step {int(jax.device_get(state.step))}")
+    if logger is not None:
+        logger.close()
+    if is_main:
+        print(f"done at step {int(jax.device_get(state.step))}")
     return 0
 
 
@@ -187,7 +222,7 @@ def cmd_eval(args) -> int:
     state = trainer.init_state()
     latest = trainer.checkpointer.latest_step("norm")
     if latest is not None:
-        state = trainer.checkpointer.restore(jax.device_get(state))
+        state = trainer.restore_state()
         print(f"evaluating checkpoint step {latest}")
     else:
         print("no checkpoint found; evaluating fresh init")
@@ -200,7 +235,8 @@ def cmd_eval(args) -> int:
     ev = Evaluator(cfg, trainer.model)
     if args.fixed_size:
         batches = batch_iterator(ds, cfg.data, batch_size=cfg.eval.batch_size,
-                                 seed=0, epochs=1, train=False)
+                                 seed=0, epochs=1, train=False,
+                                 drop_remainder=False, pad_remainder=True)
         miou, iou = ev.evaluate_fixed(state.params, batches)
     else:
         miou, iou = ev.evaluate_voc(state.params, ds, use_crf=args.crf)
@@ -253,7 +289,7 @@ def cmd_predict(args) -> int:
     state = trainer.init_state()
     latest = trainer.checkpointer.latest_step("norm")
     if latest is not None:
-        state = trainer.checkpointer.restore(jax.device_get(state))
+        state = trainer.restore_state()
         print(f"using checkpoint step {latest}")
     else:
         print("warning: no checkpoint found; predicting with fresh init")
@@ -309,7 +345,7 @@ def cmd_export(args) -> int:
     state = trainer.init_state()
     latest = trainer.checkpointer.latest_step("norm")
     if latest is not None:
-        state = trainer.checkpointer.restore(jax.device_get(state))
+        state = trainer.restore_state()
         print(f"exporting checkpoint step {latest}")
     else:
         print("warning: no checkpoint found; exporting fresh init")

@@ -154,6 +154,10 @@ class TrainConfig:
     #: reference created a "best" saver but never used it, network.py:102).
     #: None disables periodic eval.
     eval_every_steps: int | None = None
+    #: Protocol for periodic/best-checkpoint eval: "fixed" (fast, at the
+    #: training resolution) or "voc" (exact per-image original-resolution
+    #: protocol — what the headline mIoU is measured with).
+    eval_protocol: str = "fixed"
     #: Donate train state buffers to the jitted step.
     donate_state: bool = True
 

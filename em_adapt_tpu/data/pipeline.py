@@ -94,6 +94,57 @@ class SyntheticVOC:
         return img, label
 
 
+class LearnableSyntheticVOC:
+    """A *learnable* weak-supervision rehearsal task (color-coded blobs).
+
+    Each foreground class has a distinctive color; every image is a
+    textured background (class 0) with 1-2 elliptical class blobs. The
+    pixel masks exist only for evaluation — training consumes nothing but
+    the images and the tag set the E-step derives from the (downsampled)
+    mask, exactly like VOC weak supervision. EM training must lift val
+    mIoU well above chance in a few hundred steps; this is the end-to-end
+    EM-dynamics signal behind the reference's only quality metric
+    (reference readme.md:40), rehearsable without the real dataset.
+    """
+
+    #: distinctive mean RGB per foreground class (class 0 = background).
+    CLASS_COLORS = np.array(
+        [[128, 128, 128], [210, 60, 60], [60, 190, 60], [60, 80, 210],
+         [220, 200, 60], [190, 60, 200], [60, 200, 200]], np.float32
+    )
+
+    def __init__(self, n: int = 64, num_classes: int = 4, seed: int = 0,
+                 category: str = "train", image_size: int = 33):
+        assert 2 <= num_classes <= len(self.CLASS_COLORS)
+        self.n = n
+        self.num_classes = num_classes
+        self.seed = seed + (0 if category == "train" else 10_000)
+        self.category = category
+        self.image_size = image_size
+        self.ids = [f"blob_{category}_{i:06d}" for i in range(n)]
+        self.is_strong = np.zeros(n, bool)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def load_raw(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        g = np.random.default_rng(self.seed * 100003 + i)
+        s = self.image_size
+        label = np.zeros((s, s), np.uint8)
+        img = np.empty((s, s, 3), np.float32)
+        img[:] = self.CLASS_COLORS[0] + g.normal(0, 18, (s, s, 3))
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        for cls in g.choice(
+            np.arange(1, self.num_classes), size=g.integers(1, 3), replace=False
+        ):
+            cy, cx = g.uniform(0.25 * s, 0.75 * s, 2)
+            ry, rx = g.uniform(0.18 * s, 0.32 * s, 2)
+            mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+            label[mask] = cls
+            img[mask] = self.CLASS_COLORS[cls] + g.normal(0, 18, (int(mask.sum()), 3))
+        return np.clip(img, 0, 255).astype(np.uint8), label
+
+
 def batch_iterator(
     dataset,
     cfg: DataConfig,
@@ -104,15 +155,37 @@ def batch_iterator(
     train: bool = True,
     num_workers: int | None = None,
     drop_remainder: bool = True,
+    pad_remainder: bool = False,
+    process_shard: tuple[int, int] | None = None,
 ) -> Iterator[dict]:
     """Yield {"image" [B,H,W,3] f32, "label" [B,H,W,1] f32, "id" list} batches.
 
     Epoch shuffling uses a per-epoch child PRNG; each sample's augmentation
     gets its own child keyed by (epoch, index) so results are independent
     of worker scheduling.
+
+    ``pad_remainder`` (evaluation): a final partial batch is padded to
+    ``batch_size`` with all-void (255) labels and ids ``"__pad__"`` so no
+    image is dropped from a metric AND the batch shape stays static (no
+    tail-shape recompile — remote TPU compiles cost minutes here). It takes
+    precedence over ``drop_remainder``.
+
+    ``process_shard=(pid, nprocs)`` (multi-host DCN): every process draws
+    the SAME seeded epoch permutation and global batch indices, then keeps
+    only its contiguous block of each batch — process pid loads rows
+    [pid*B/n, (pid+1)*B/n) of the global batch, matching the mesh's
+    data-axis device order so ``MeshPlan.shard_batch`` can assemble the
+    global array from purely local data.
     """
     n = len(dataset)
     num_workers = num_workers if num_workers is not None else cfg.num_workers
+    pid, nprocs = process_shard or (0, 1)
+    if batch_size % nprocs:
+        raise ValueError(
+            f"global batch_size {batch_size} not divisible by "
+            f"{nprocs} processes"
+        )
+    local_bs = batch_size // nprocs
     root = np.random.SeedSequence([seed, 0xDA7A])
     epoch = 0
 
@@ -143,21 +216,51 @@ def batch_iterator(
                 ).permutation(n)
             else:
                 perm = np.arange(n)
+            strong = getattr(dataset, "is_strong", None)
+            # Dataset-level (not per-batch) presence check so every batch
+            # has the same key set -> one jit signature.
+            include_strong = strong is not None and strong.any()
             for start in range(0, n, batch_size):
-                idxs = perm[start : start + batch_size]
-                if len(idxs) < batch_size and drop_remainder:
+                gidxs = perm[start : start + batch_size]
+                if len(gidxs) < batch_size and drop_remainder and not pad_remainder:
                     continue
-                results = list(pool.map(lambda i: load_one(epoch, int(i)), idxs))
+                # -1 marks a pad row (all-void label, zero image).
+                if len(gidxs) < batch_size and pad_remainder:
+                    gidxs = np.concatenate(
+                        [gidxs, np.full(batch_size - len(gidxs), -1, gidxs.dtype)]
+                    )
+                idxs = gidxs[pid * local_bs : (pid + 1) * local_bs]
+                results = list(
+                    pool.map(
+                        lambda i: load_one(epoch, int(i))
+                        if i >= 0
+                        else (None, None),
+                        idxs,
+                    )
+                )
+                proto = next((r for r in results if r[0] is not None), None)
+                if proto is None:  # all-pad local block: build from specs
+                    h, w = cfg.input_size
+                    proto = (
+                        np.zeros((h, w, 3), np.float32),
+                        np.full((h, w, 1), 255, np.float32),
+                    )
+                results = [
+                    r
+                    if r[0] is not None
+                    else (np.zeros_like(proto[0]), np.full_like(proto[1], 255))
+                    for r in results
+                ]
+                ids = [
+                    dataset.ids[int(i)] if i >= 0 else "__pad__" for i in idxs
+                ]
                 imgs = np.stack([r[0] for r in results])
                 labels = np.stack([r[1] for r in results])
-                out = {
-                    "image": imgs,
-                    "label": labels,
-                    "id": [dataset.ids[int(i)] for i in idxs],
-                }
-                strong = getattr(dataset, "is_strong", None)
-                if strong is not None and strong.any():
-                    out["is_strong"] = strong[idxs]
+                out = {"image": imgs, "label": labels, "id": ids}
+                if include_strong:
+                    out["is_strong"] = np.array(
+                        [bool(strong[int(i)]) if i >= 0 else False for i in idxs]
+                    )
                 yield out
             epoch += 1
     finally:
@@ -178,23 +281,38 @@ class DevicePrefetcher:
     def __init__(self, it: Iterator[dict], plan, depth: int = 2):
         import queue
 
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._queue_mod = queue
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._it = it
         self._plan = plan
         self._done = object()
+        self._stop = False
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
     def _fill(self):
         try:
             for batch in self._it:
-                ids = batch.pop("id", None)
-                dev = self._plan.shard_batch(batch)
-                if ids is not None:
-                    dev["id"] = ids
-                self._q.put(dev)
+                if self._stop:
+                    break
+                arrays = {
+                    k: v for k, v in batch.items() if not isinstance(v, (list, str))
+                }
+                dev = self._plan.shard_batch(arrays)
+                for k, v in batch.items():  # pass host-only leaves through
+                    if k not in dev:
+                        dev[k] = v
+                while not self._stop:
+                    try:
+                        self._q.put(dev, timeout=0.1)
+                        break
+                    except self._queue_mod.Full:
+                        continue
         finally:
-            self._q.put(self._done)
+            try:
+                self._q.put_nowait(self._done)
+            except self._queue_mod.Full:
+                pass
 
     def __iter__(self):
         return self
@@ -204,3 +322,15 @@ class DevicePrefetcher:
         if item is self._done:
             raise StopIteration
         return item
+
+    def close(self) -> None:
+        """Stop the fill thread (consumers that exit early — e.g. a step cap
+        or preemption — must call this so the thread doesn't keep decoding
+        and uploading batches forever on an endless iterator)."""
+        self._stop = True
+        while True:  # unblock a put-in-progress and drain
+            try:
+                self._q.get_nowait()
+            except self._queue_mod.Empty:
+                break
+        self._thread.join(timeout=5)

@@ -76,12 +76,42 @@ def _bilateral_grid_filter(
     return sliced[..., :-1] / norm
 
 
+def _exact_kernel_filter(q: np.ndarray, feats: np.ndarray) -> np.ndarray:
+    """Brute-force O((HW)^2) normalized Gaussian filtering.
+
+    ``feats`` [H, W, D] are feature coordinates ALREADY divided by their
+    per-axis std; the kernel is exp(-0.5 * ||f_i - f_j||^2) — exactly the
+    kernel the grid/ndimage paths approximate. This is the oracle the
+    approximation tests quantify against (tests/test_crf.py); only usable
+    on tiny images.
+    """
+    h, w, c = q.shape
+    f = feats.reshape(h * w, -1).astype(np.float64)
+    d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+    ker = np.exp(-0.5 * d2)
+    num = ker @ q.reshape(h * w, c).astype(np.float64)
+    den = ker.sum(1, keepdims=True)
+    return (num / den).reshape(h, w, c).astype(np.float32)
+
+
+def _spatial_feats(h: int, w: int, sxy: float) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.stack([yy / sxy, xx / sxy], axis=-1)
+
+
+def _bilateral_feats(rgb: np.ndarray, sxy: float, srgb: float) -> np.ndarray:
+    h, w = rgb.shape[:2]
+    sp = _spatial_feats(h, w, sxy)
+    return np.concatenate([sp, rgb.astype(np.float32) / srgb], axis=-1)
+
+
 def dense_crf(
     probs: np.ndarray,
     rgb: np.ndarray,
     cfg: EvalConfig | None = None,
     *,
     num_iterations: int | None = None,
+    method: str = "auto",
 ) -> np.ndarray:
     """Refine class probabilities with mean-field dense-CRF inference.
 
@@ -89,19 +119,31 @@ def dense_crf(
       probs: [H, W, C] float softmax output (the unary is -log of this).
       rgb: [H, W, 3] uint8 original image.
       cfg: kernel hyperparameters (defaults = reference network.py:63).
+      method: "auto"/"grid" (bilateral-grid approximation, production) or
+        "exact" (brute-force O((HW)^2) kernels — the validation oracle,
+        tiny images only).
 
     Returns:
       [H, W, C] refined probabilities.
     """
     cfg = cfg or EvalConfig()
+    if method not in ("auto", "grid", "exact"):
+        raise ValueError(f"method={method!r}: expected 'auto', 'grid' or 'exact'")
     iters = cfg.crf_iterations if num_iterations is None else num_iterations
     probs = np.asarray(probs, np.float32)
     log_unary = np.log(np.maximum(probs, 1e-8))
     q = probs
+    if method == "exact":
+        sp_feats = _spatial_feats(*probs.shape[:2], cfg.crf_g_sxy)
+        bi_feats = _bilateral_feats(rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
 
     for _ in range(iters):
-        sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
-        bi = _bilateral_grid_filter(q, rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
+        if method == "exact":
+            sp = _exact_kernel_filter(q, sp_feats)
+            bi = _exact_kernel_filter(q, bi_feats)
+        else:
+            sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
+            bi = _bilateral_grid_filter(q, rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
         # Potts pairwise: label l is penalized by the filtered mass of OTHER
         # labels, compat * (S - filtered_l); S = sum_l' filtered_l' is
         # label-independent and cancels in the softmax, leaving

@@ -62,6 +62,20 @@ POOLS: dict[str, int] = {
 }
 
 
+def vgg_conv_specs(cfg: ModelConfig) -> tuple[tuple[str, int, int, int, int, int], ...]:
+    """The VGG trunk specs with the config knobs applied: conv1_1 input
+    channels (``cfg.input_channels``) and the conv5 atrous rate
+    (``cfg.conv5_rate``, reference deeplab.py:65)."""
+    out = []
+    for name, kh, kw, cin, cout, rate in VGG_CONV_SPECS:
+        if name == "conv1_1":
+            cin = cfg.input_channels
+        if name.startswith("conv5"):
+            rate = cfg.conv5_rate
+        out.append((name, kh, kw, cin, cout, rate))
+    return tuple(out)
+
+
 def layer_specs(cfg: ModelConfig) -> tuple[tuple[str, int, int, int, int, int], ...]:
     """All parameterized layers including the atrous-FC head."""
     fc = (
@@ -69,7 +83,7 @@ def layer_specs(cfg: ModelConfig) -> tuple[tuple[str, int, int, int, int, int], 
         ("fc7", 1, 1, cfg.fc6_channels, cfg.fc6_channels, 1),
         ("fc8", 1, 1, cfg.fc6_channels, cfg.num_classes, 1),
     )
-    return VGG_CONV_SPECS + fc
+    return vgg_conv_specs(cfg) + fc
 
 
 LAYER_SPECS = layer_specs(ModelConfig())
@@ -185,7 +199,7 @@ class DeepLabLargeFOV:
         h = x if compute_dtype is None else x.astype(compute_dtype)
         cur_specs: list[tuple[str, int]] = []
         cur_params: list[dict] = []
-        for name, _, _, _, _, rate in VGG_CONV_SPECS:
+        for name, _, _, _, _, rate in vgg_conv_specs(cfg):
             cur_specs.append((name, rate))
             cur_params.append(params[name])
             if name in POOLS:

@@ -149,6 +149,41 @@ def estep_labels(
     explicit with ``stop_gradient``.
     """
     b, h, w, c = scores.shape
+    if cfg.impl not in ("auto", "jax", "pallas", "native"):
+        raise ValueError(
+            f"estep.impl={cfg.impl!r}: expected one of "
+            "'auto', 'jax', 'pallas', 'native'"
+        )
+    if cfg.impl == "native":
+        # Host C++ kernel via pure_callback: CPU pipelines / cross-checks.
+        # The callback is pure (out-of-place, explicit orders), so it is
+        # safe under jit; it does force a device->host round trip — the
+        # same one the reference paid every step (deeplab.py:120).
+        import numpy as np
+
+        from em_adapt_tpu.ops.estep_native import estep_native
+
+        def _host(scores_h, label_h, orders_h):
+            return estep_native(
+                np.asarray(scores_h),
+                np.asarray(label_h),
+                np.asarray(orders_h),
+                bg_p=cfg.bg_p,
+                fg_p=cfg.fg_p,
+                num_iter=cfg.num_iter,
+                suppress_others=cfg.suppress_others,
+                margin_others=cfg.margin_others,
+            )
+
+        biased = jax.pure_callback(
+            _host,
+            jax.ShapeDtypeStruct(scores.shape, jnp.float32),
+            jax.lax.stop_gradient(scores).astype(jnp.float32),
+            label,
+            orders,
+            vmap_method="sequential",
+        )
+        return jnp.argmax(biased, axis=3).astype(jnp.int32)
     # The Pallas kernel keeps the whole batch resident in VMEM
     # ([C,B,HW] in + out + scratch); guard against huge inputs.
     vmem_bytes = (2 * c + 2) * b * h * w * 4

@@ -108,14 +108,23 @@ class MeshPlan:
             return NamedSharding(self.mesh, P(self.data_axis, self.space_axis))
         return NamedSharding(self.mesh, P(self.data_axis))
 
+    def _put(self, v, sharding: NamedSharding):
+        """Single-controller: device_put the full array. Multi-controller
+        (multi-host DCN runtime, SURVEY.md §5): ``v`` is this process's
+        LOCAL shard of the global batch — assemble the global jax.Array
+        from per-process data without any cross-host transfer."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, v)
+        return jax.device_put(v, sharding)
+
     def shard_batch(self, batch):
-        """Device_put a host pytree of [B, ...] arrays onto the mesh."""
+        """Put a host pytree of [B, ...] arrays onto the mesh (multi-host:
+        each process passes its local slice; B means the LOCAL batch)."""
         if isinstance(batch, dict):
             return {
-                k: jax.device_put(v, self._leaf_sharding(k, v))
-                for k, v in batch.items()
+                k: self._put(v, self._leaf_sharding(k, v)) for k, v in batch.items()
             }
-        return jax.device_put(batch, self.batch_sharding())
+        return self._put(batch, self.batch_sharding())
 
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated())

@@ -9,7 +9,11 @@ deeplab.py:188-208, :243-262):
   semantics (the reference adds g/accum_num each step and applies every
   accum_num steps — reference deeplab.py:202-205) — ``optax.MultiSteps``.
 * Step-indexed piecewise-constant LR: drops at epochs 10/20/30 measured in
-  microbatch steps (reference deeplab.py:243-262).
+  microbatch steps (reference deeplab.py:243-262). The schedule handed to
+  the inner sgd is re-indexed to applied-update units, because
+  ``optax.MultiSteps`` only advances the inner optimizer's count when an
+  accumulated update is emitted — a microbatch-indexed schedule inside it
+  would fire every drop ``accum_steps``x too late.
 * Caffe LR-group multipliers (bias x2, fc8 w x10, fc8 b x20). The
   reference computes these and silently discards them (dead rebinding
   loop, reference deeplab.py:194-200), so they default OFF for
@@ -76,15 +80,27 @@ def build_optimizer(
 
     Weight decay is NOT here: the reference adds wd*l2 to the loss
     (reference deeplab.py:185), so it arrives through the gradients.
+
+    The returned ``sched`` is microbatch-indexed (what the reference's hot
+    loop sees, deeplab.py:243-262); the copy inside the optimizer is
+    re-indexed to applied-update counts so that the update emitted by
+    MultiSteps at microbatch step ``(k+1)*accum - 1`` (inner count k) uses
+    exactly ``sched((k+1)*accum - 1)`` — the LR the reference would apply
+    at that step.
     """
     sched = lr_schedule(cfg, steps_per_epoch)
+    accum = cfg.accum_steps
+    if accum > 1:
+        inner_sched = lambda count: sched((count + 1) * accum - 1)  # noqa: E731
+    else:
+        inner_sched = sched
     chain = []
     if cfg.lr_multipliers:
         chain.append(_scale_by_group())
-    chain.append(optax.sgd(learning_rate=sched, momentum=cfg.momentum))
+    chain.append(optax.sgd(learning_rate=inner_sched, momentum=cfg.momentum))
     tx = optax.chain(*chain)
-    if cfg.accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, sched
 
 

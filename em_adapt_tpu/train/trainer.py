@@ -15,6 +15,7 @@ flow only through the logits.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Callable, Iterable
 
@@ -163,12 +164,60 @@ class Trainer:
         k_params, k_state = jax.random.split(key)
         return TrainState.create(self.model.init(k_params), self.tx, k_state)
 
+    def _state_shardings_or_replicated(self):
+        return (
+            self.state_shardings
+            if self.state_shardings is not None
+            else self.plan.replicated()
+        )
+
     def init_state(self, seed: int | None = None) -> TrainState:
         seed = self.cfg.train.seed if seed is None else seed
-        state = self._build_state(jax.random.key(seed))
+        if jax.process_count() > 1:
+            # Multi-controller: host arrays cannot be device_put onto a
+            # global mesh; build the state INSIDE jit with global
+            # out_shardings instead — every process runs the same program
+            # and XLA materializes the global arrays directly.
+            import numpy as np
+
+            build = jax.jit(
+                lambda s: self._build_state(jax.random.key(s)),
+                out_shardings=self._state_shardings_or_replicated(),
+            )
+            return build(np.int64(seed))
+        return self.place_state(self._build_state(jax.random.key(seed)))
+
+    def place_state(self, state: TrainState) -> TrainState:
+        """Put a (host or device) state onto the mesh with the trainer's
+        state shardings — TP-sharded fc6/fc7 under a nontrivial ``model``
+        axis, replicated otherwise. Restored checkpoints MUST go through
+        this (not ``plan.replicate``) or tensor-parallel leaves come back
+        replicated. Single-controller only; multi-host restore goes
+        through :meth:`restore_state`."""
         if self.state_shardings is not None:
             return jax.device_put(state, self.state_shardings)
         return self.plan.replicate(state)
+
+    def abstract_state(self) -> TrainState:
+        """TrainState of ShapeDtypeStructs carrying the trainer's state
+        shardings — the restore template that makes orbax materialize the
+        checkpoint straight onto the (possibly multi-host) mesh."""
+        abstract = jax.eval_shape(lambda: self._build_state(jax.random.key(0)))
+        sh = self._state_shardings_or_replicated()
+        if not isinstance(sh, TrainState):
+            sh = jax.tree.map(lambda _: sh, abstract)
+        return jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            abstract,
+            sh,
+        )
+
+    def restore_state(
+        self, *, tag: str = "norm", step: int | None = None
+    ) -> TrainState:
+        """Restore a checkpoint directly onto the mesh (TP-sharded leaves
+        included), without a host round trip."""
+        return self.checkpointer.restore(self.abstract_state(), tag=tag, step=step)
 
     @property
     def checkpointer(self):
@@ -192,7 +241,17 @@ class Trainer:
         ``eval_fn(state) -> metric`` (higher is better, e.g. val mIoU) runs
         every ``cfg.train.eval_every_steps``; improvements are checkpointed
         under the "best" tag.
+
+        Hot-loop discipline (this is how the dispatch pipeline stays full
+        on TPU — the reference's loop blocked three times per step,
+        SURVEY.md §3.2): the step counter lives on the HOST (read from the
+        device once at entry, incremented locally), batches are device_put
+        with the mesh sharding on a background prefetch thread
+        (``cfg.data.prefetch`` deep), and the only per-step host work is a
+        dict comprehension + dispatch. Device syncs happen only at
+        log/eval/checkpoint cadence.
         """
+        from em_adapt_tpu.data.pipeline import DevicePrefetcher
         from em_adapt_tpu.utils.failure import GracefulShutdown, LossWatchdog
 
         cfg = self.cfg
@@ -204,12 +263,21 @@ class Trainer:
         lr_drop_steps = {
             epoch * self.steps_per_epoch for epoch, _ in cfg.optim.lr_schedule
         }
+        # One device fetch to reconcile with a restored checkpoint; from
+        # here the host counter is authoritative (it advances in lockstep
+        # with state.step inside the jitted step).
+        step_idx = int(jax.device_get(state.step))
+        prefetcher = None
+        if cfg.data.prefetch > 0 and not isinstance(batches, DevicePrefetcher):
+            prefetcher = DevicePrefetcher(batches, self.plan, depth=cfg.data.prefetch)
+            batches = prefetcher
         t0 = time.time()
         n_done = 0
         watchdog = LossWatchdog()
-        with GracefulShutdown() as shutdown:
+        with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
+            if prefetcher is not None:
+                stack.callback(prefetcher.close)
             for batch in batches:
-                step_idx = int(jax.device_get(state.step))
                 if step_idx >= total_steps:
                     break
                 if shutdown.requested:
@@ -222,7 +290,9 @@ class Trainer:
                 if cfg.checkpoint.snapshot_on_lr_drop and step_idx in lr_drop_steps:
                     self.checkpointer.save(state, tag="lr")
                 arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
-                state, metrics = self.train_step(state, self.plan.shard_batch(arrays))
+                if not all(isinstance(v, jax.Array) for v in arrays.values()):
+                    arrays = self.plan.shard_batch(arrays)
+                state, metrics = self.train_step(state, arrays)
                 n_done += 1
                 step_idx += 1
                 if step_idx % cfg.train.log_every_steps == 0:

@@ -155,6 +155,25 @@ def test_batch_iterator_eval_order():
     assert [i for b in batches for i in b["id"]] == ds.ids
 
 
+def test_batch_iterator_pad_remainder():
+    """Eval padding: the tail batch keeps the static shape, pads with
+    all-void labels (ignored by the confusion matrix) and '__pad__' ids."""
+    ds = SyntheticVOC(n=7, seed=3, category="val")
+    cfg = DataConfig(input_size=(33, 33), num_workers=2)
+    batches = list(
+        batch_iterator(ds, cfg, batch_size=3, seed=0, epochs=1, train=False,
+                       drop_remainder=False, pad_remainder=True)
+    )
+    assert len(batches) == 3
+    assert all(b["image"].shape == (3, 33, 33, 3) for b in batches)
+    tail = batches[-1]
+    assert tail["id"] == [ds.ids[6], "__pad__", "__pad__"]
+    assert (tail["label"][1:] == 255).all()
+    # every real image appears exactly once
+    real = [i for b in batches for i in b["id"] if i != "__pad__"]
+    assert real == ds.ids
+
+
 def test_semi_supervised_flags_in_batches():
     ds = SyntheticVOC(n=12, seed=3, strong_fraction=0.5)
     assert 0 < ds.is_strong.sum() < 12
@@ -165,6 +184,34 @@ def test_semi_supervised_flags_in_batches():
     ds2 = SyntheticVOC(n=12, seed=3)
     b2 = next(iter(batch_iterator(ds2, cfg, batch_size=6, seed=5, epochs=1, train=True)))
     assert "is_strong" not in b2
+
+
+def test_device_prefetcher_roundtrip_and_close():
+    import jax
+
+    from em_adapt_tpu.data.pipeline import DevicePrefetcher
+    from em_adapt_tpu.parallel.mesh import make_mesh
+
+    ds = SyntheticVOC(n=16, seed=3)
+    cfg = DataConfig(input_size=(33, 33), num_workers=2)
+    plan = make_mesh()
+    host = list(batch_iterator(ds, cfg, batch_size=8, seed=5, epochs=1, train=True))
+    pf = DevicePrefetcher(iter(host), plan, depth=2)
+    dev = list(pf)
+    assert len(dev) == len(host)
+    for h, d in zip(host, dev):
+        assert isinstance(d["image"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(d["image"]), h["image"])
+        assert d["id"] == h["id"]
+
+    # close() on an endless iterator stops the fill thread
+    pf2 = DevicePrefetcher(
+        batch_iterator(ds, cfg, batch_size=8, seed=5, epochs=None, train=True),
+        plan, depth=2,
+    )
+    next(pf2)
+    pf2.close()
+    assert not pf2._thread.is_alive()
 
 
 def test_voc_strong_list(tmp_path):

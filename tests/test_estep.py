@@ -69,6 +69,36 @@ def test_jax_matches_oracle_random_orders(rng):
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
 
 
+def test_estep_labels_rejects_unknown_impl(rng):
+    from em_adapt_tpu.config import EStepConfig
+    from em_adapt_tpu.ops.estep import estep_labels
+
+    scores = jnp.asarray(rng.normal(size=(1, 5, 5, 4)).astype(np.float32))
+    label = jnp.zeros((1, 5, 5), jnp.float32)
+    orders = make_class_orders(jax.random.key(0), 5, 4)
+    with pytest.raises(ValueError, match="estep.impl"):
+        estep_labels(scores, label, orders, EStepConfig(impl="cuda"))
+
+
+def test_estep_labels_native_impl_matches_jax(rng):
+    """impl='native' routes the host C++ kernel through pure_callback inside
+    jit and must produce the same weak-label map as the XLA path."""
+    from em_adapt_tpu.config import EStepConfig
+    from em_adapt_tpu.ops.estep import estep_labels
+
+    scores = jnp.asarray(rng.normal(size=(2, 9, 9, 6)).astype(np.float32))
+    label_np = rng.integers(0, 8, size=(2, 9, 9)).astype(np.float32)
+    label_np[label_np >= 6] = 255.0
+    label = jnp.asarray(label_np)
+    orders = make_class_orders(jax.random.key(1), 5, 6)
+
+    fn = jax.jit(lambda s, l, o, impl: estep_labels(s, l, o, EStepConfig(impl=impl)),
+                 static_argnames="impl")
+    want = np.asarray(fn(scores, label, orders, "jax"))
+    got = np.asarray(fn(scores, label, orders, "native"))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_tags_ignore_label(rng):
     label = np.full((2, 6, 6), 255.0, dtype=np.float32)
     label[0, 0, 0] = 3

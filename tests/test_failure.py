@@ -78,7 +78,7 @@ def test_fit_saves_on_preemption(rng, tmp_path):
         g = np.random.default_rng(0)
         n = 0
         while True:
-            if n == 3:  # preempt after 3 batches
+            if n == 3:  # preempt after 3 batches have been produced
                 os.kill(os.getpid(), signal.SIGTERM)
             n += 1
             yield {
@@ -87,8 +87,11 @@ def test_fit_saves_on_preemption(rng, tmp_path):
             }
 
     state = trainer.fit(state, batches())
-    # signal lands while batch 4 is being produced; fit notices it before
-    # running that step, saves, and exits at step 3
-    assert int(jax.device_get(state.step)) == 3
-    assert trainer.checkpointer.latest_step("norm") == 3
+    # The prefetch thread runs ahead of the train loop, so the exact step
+    # at which the signal lands is scheduling-dependent; the contract is:
+    # the loop stopped early (well before the 10^5-step horizon), progress
+    # was made, and the FULL state at the stop step was checkpointed.
+    stop_step = int(jax.device_get(state.step))
+    assert 1 <= stop_step <= 4
+    assert trainer.checkpointer.latest_step("norm") == stop_step
     trainer.checkpointer.close()

@@ -118,6 +118,30 @@ def test_random_init_stats():
     assert np.asarray(params["conv1_1"]["b"]).sum() == 0.0
 
 
+def test_config_knobs_wire_into_architecture():
+    """conv5_rate and input_channels must actually change the network
+    (round-1 VERDICT: they were silently ignored)."""
+    from em_adapt_tpu.models.deeplab import vgg_conv_specs
+
+    cfg = ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8,
+                      input_channels=5, conv5_rate=3)
+    specs = {name: (cin, rate) for name, _, _, cin, _, rate in vgg_conv_specs(cfg)}
+    assert specs["conv1_1"][0] == 5
+    assert specs["conv5_1"][1] == 3 and specs["conv5_3"][1] == 3
+
+    model = DeepLabLargeFOV(cfg)
+    params = model.init(jax.random.key(0))
+    assert params["conv1_1"]["w"].shape == (3, 3, 5, 64)
+    out = model.apply(params, jnp.zeros((1, 33, 33, 5)))
+    assert out.shape == (1, 5, 5, 4)
+    # a different conv5 rate changes the logits vs the default rate
+    base = DeepLabLargeFOV(ModelConfig(num_classes=4, input_size=(33, 33),
+                                       fc6_channels=8, input_channels=5))
+    out2 = base.apply(params, jnp.ones((1, 33, 33, 5)))
+    out3 = model.apply(params, jnp.ones((1, 33, 33, 5)))
+    assert not np.allclose(np.asarray(out2), np.asarray(out3), atol=0, rtol=1e-3)
+
+
 def test_weight_l2_excludes_bias():
     z = np.load(os.path.join(FIX, "model_small.npz"))
     params = small_params_from_fixture(z)

@@ -99,3 +99,31 @@ def test_dp_sp_tp_train_step_matches_dp_only(rng):
     loss_dp = run((("data", 8), ("space", 1)))
     loss_tp = run((("data", 2), ("space", 2), ("model", 2)))
     assert loss_dp == _pytest.approx(loss_tp, abs=2e-5)
+
+
+def test_place_state_restores_tp_sharding(rng):
+    """Resume path regression (VERDICT round 1): a checkpoint restored to
+    host arrays must come back TP-sharded via Trainer.place_state, not
+    replicated."""
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(32, 32), fc6_channels=16),
+        estep=EStepConfig(num_iter=2),
+        optim=OptimConfig(accum_steps=1),
+        train=TrainConfig(batch_size=8),
+        mesh=MeshConfig(axes=(("data", 2), ("space", 2), ("model", 2))),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=4)
+    host_state = jax.device_get(trainer.init_state())  # checkpoint-shaped
+    placed = trainer.place_state(host_state)
+    assert "model" in str(placed.params["fc6"]["w"].sharding.spec)
+    assert "model" in str(placed.params["fc7"]["w"].sharding.spec)
+    # and a step runs on the placed state
+    g = np.random.default_rng(7)
+    batch = {
+        "image": g.normal(size=(8, 32, 32, 3)).astype(np.float32),
+        "label": g.integers(0, 4, size=(8, 32, 32, 1)).astype(np.float32),
+    }
+    _, m = trainer.train_step(placed, trainer.plan.shard_batch(batch))
+    assert np.isfinite(float(jax.device_get(m["loss"])))

@@ -53,6 +53,46 @@ def test_lr_schedule_matches_reference_drops():
     assert float(sched(3000)) == pytest.approx(1e-6, rel=1e-4)
 
 
+def test_lr_drop_fires_at_right_microstep_inside_multisteps():
+    """Regression: with the schedule inside MultiSteps, a drop at microbatch
+    step S must affect the accumulated update emitted at/after S — not
+    accum_steps*S. Drop at microstep 2, accum 2: the emit at microstep 1
+    uses lr 1.0, the emit at microstep 3 uses the dropped lr 0.1."""
+    cfg = OptimConfig(base_lr=1.0, momentum=0.0, accum_steps=2,
+                      lr_schedule=((2, 0.1),))
+    tx, sched = build_optimizer(cfg, steps_per_epoch=1)
+    params = {"w": jnp.zeros(1)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(1)}
+    updates = []
+    for _ in range(4):
+        u, state = tx.update(g, state, params)
+        updates.append(float(u["w"][0]))
+    assert updates == pytest.approx([0.0, -1.0, 0.0, -0.1])
+    # the microbatch-indexed schedule (used for logging) agrees
+    assert float(sched(1)) == pytest.approx(1.0)
+    assert float(sched(3)) == pytest.approx(0.1)
+
+
+def test_lr_drops_fire_with_reference_recipe_accumulation():
+    """The reference recipe (drops at epochs 10/20/30, accum 5) must drop
+    three times over 40 epochs when run through the real optimizer."""
+    steps_per_epoch = 10
+    cfg = OptimConfig(accum_steps=5, momentum=0.0)
+    tx, _ = build_optimizer(cfg, steps_per_epoch)
+    params = {"w": jnp.zeros(1)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(1)}
+    emitted = []
+    for _ in range(40 * steps_per_epoch):
+        u, state = tx.update(g, state, params)
+        v = float(u["w"][0])
+        if v != 0.0:
+            emitted.append(v)
+    lrs = sorted({round(-v, 10) for v in emitted}, reverse=True)
+    assert lrs == pytest.approx([1e-3, 1e-4, 1e-5, 1e-6])
+
+
 def test_sgd_momentum_matches_tf_semantics():
     """accum = m*accum + g; var -= lr*accum (MomentumOptimizer)."""
     tx, _ = build_optimizer(

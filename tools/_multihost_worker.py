@@ -1,0 +1,21 @@
+"""Worker shim for tools/multihost_dryrun.py.
+
+Environments where a sitecustomize hook pre-imports jax (e.g. the axon
+TPU relay) ignore JAX_PLATFORMS from the environment; force the CPU
+backend through the live config (backends are still lazy at this point —
+same trick as tests/conftest.py), then hand off to the real CLI so the
+full ``em-adapt train --multihost`` path runs unchanged.
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/em_adapt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from em_adapt_tpu.cli import main  # noqa: E402
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
