@@ -40,6 +40,11 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-jsonl", default=None, help="also write metrics JSONL here")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first steps")
+    t.add_argument("--device-data", type=int, default=None, metavar="N",
+                   help="smoke/bench mode: pre-upload N batches and cycle "
+                        "them on device, isolating step throughput from "
+                        "host decode + H2D bandwidth (this dev rig's relay "
+                        "moves ~12 MB/s; real TPU hosts move GB/s)")
     t.add_argument("--strong-list", default=None, metavar="TXT",
                    help="semi-supervised EM: ids in this list train on their "
                         "real pixel masks (E-step bypassed for them)")
@@ -104,8 +109,22 @@ def _load_cfg(overrides):
     return apply_overrides(ExperimentConfig(), overrides or [])
 
 
+def _setup_jax() -> None:
+    """Persistent XLA compilation cache (fresh jits on a remote TPU cost
+    minutes; cache them across CLI invocations). Override the location
+    with EM_ADAPT_JAX_CACHE; set it empty to disable."""
+    import jax
+
+    cache = os.environ.get("EM_ADAPT_JAX_CACHE", "/tmp/em_adapt_jax_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def cmd_train(args) -> int:
     import jax
+
+    _setup_jax()
 
     if getattr(args, "multihost", False):
         # Multi-host (DCN) runtime: each host contributes its local chips to
@@ -191,6 +210,19 @@ def cmd_train(args) -> int:
         ds, cfg.data, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
         epochs=None, train=True, process_shard=process_shard,
     )
+    if args.device_data:
+        import itertools
+
+        cached = []
+        for _ in range(args.device_data):
+            b = next(batches)
+            cached.append(trainer.plan.shard_batch(
+                {k: v for k, v in b.items() if not isinstance(v, (list, str))}
+            ))
+        batches = itertools.cycle(cached)
+        if is_main:
+            print(f"device-data mode: cycling {len(cached)} device-resident "
+                  f"batches (host pipeline + H2D excluded)")
     with trace_context(args.profile_dir):
         state = trainer.fit(
             state, batches, num_steps=args.steps, log_fn=logger, eval_fn=eval_fn
@@ -208,6 +240,8 @@ def cmd_eval(args) -> int:
     import dataclasses
 
     import jax
+
+    _setup_jax()
 
     from em_adapt_tpu.data import SyntheticVOC, VOCSegmentation, batch_iterator
     from em_adapt_tpu.eval.predict import Evaluator

@@ -62,9 +62,15 @@ class ModelConfig:
     #: activations from HBM — enables much larger per-chip batches.
     remat: bool = False
     #: Path to the Caffe-converted ``init.npy`` (reference deeplab.py:293).
-    #: ``None`` -> random init (stddev 0.01 normal, zero bias;
-    #: reference deeplab.py:151-154).
+    #: ``None`` -> random init per ``init_scheme``.
     init_model_path: str | None = None
+    #: Random-init scheme when no pretrained init is given: "reference"
+    #: (stddev 0.01 normal, zero bias — reference deeplab.py:151-154; NOTE
+    #: this collapses through 16 layers, logits ~1e-11 and spatially
+    #: constant — the reference only ever used it as a dead fallback) or
+    #: "he" (Kaiming-normal fan-in, the working choice for training from
+    #: scratch, e.g. the convergence rehearsal).
+    init_scheme: str = "reference"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +95,18 @@ class DataConfig:
     #: tf.data pipeline had implicit equivalents).
     num_workers: int = 8
     prefetch: int = 2
+    #: Wire format for batches: "float32" (preprocessed on host — the
+    #: reference contract, golden-exact) or "uint8" (raw RGB + uint8
+    #: labels; BGR+mean normalization runs on device — 4x less H2D
+    #: traffic at <=0.5-intensity rounding of the resized image).
+    wire_dtype: str = "float32"
+    #: Shrink TRAIN labels to this size on the host (e.g. (41, 41), the
+    #: score-map resolution) instead of shipping the full-res mask and
+    #: shrinking on device. Bit-identical to the device shrink (same TF1
+    #: nearest grid, reference deeplab.py:110) and ~60x fewer label bytes
+    #: over the wire. None ships full resolution (reference contract).
+    #: Ignored by eval iterators, which need full-res ground truth.
+    train_label_size: tuple[int, int] | None = None
 
 
 @dataclasses.dataclass(frozen=True)

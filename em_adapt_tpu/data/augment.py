@@ -83,10 +83,17 @@ def augment_train(
     scale_range: tuple[float, float] = (0.75, 1.25),
     random_scale: bool = True,
     flip: bool = True,
+    wire_dtype: str = "float32",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train-time preprocessing of one (uint8 RGB HWC, uint8 HW) pair.
 
-    Returns (image f32 [H,W,3], label f32 [H,W,1]).
+    Returns (image f32 [H,W,3] BGR mean-subtracted, label f32 [H,W,1]) —
+    the reference contract — or, with ``wire_dtype="uint8"``, a compact
+    wire format: (image uint8 RGB [H,W,3], label uint8 [H,W,1]) with the
+    BGR+mean normalization deferred to the device (keyed on input dtype in
+    ``DeepLabLargeFOV.apply``). 4x less host->device traffic for one
+    <=0.5-intensity rounding of the resized image; the label path is
+    exact either way (nearest resize preserves uint8 values).
     """
     h, w = input_size
     lab = label[:, :, None] if label.ndim == 2 else label
@@ -102,15 +109,19 @@ def augment_train(
 
     img = resize_bilinear_np(img, (h, w))
     lab = resize_nearest_np(lab, (h, w))
-    img = _bgr_mean_sub(img)
 
     if flip and rng.uniform() < 0.5:
         # one shared draw flips both (reference dataset.py:187-192)
         img = img[:, ::-1]
         lab = lab[:, ::-1]
 
-    return np.ascontiguousarray(img, np.float32), np.ascontiguousarray(
-        lab, np.float32
+    if wire_dtype == "uint8":
+        return (
+            np.ascontiguousarray(np.clip(np.round(img), 0, 255), np.uint8),
+            np.ascontiguousarray(lab, np.uint8),
+        )
+    return np.ascontiguousarray(_bgr_mean_sub(img), np.float32), (
+        np.ascontiguousarray(lab, np.float32)
     )
 
 
@@ -119,13 +130,20 @@ def preprocess_eval(
     label: np.ndarray | None = None,
     *,
     input_size: tuple[int, int] = (321, 321),
+    wire_dtype: str = "float32",
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Eval-time preprocessing: fixed resize + BGR + mean, no augmentation
-    (reference dataset.py:130)."""
+    (reference dataset.py:130). ``wire_dtype="uint8"`` defers the BGR+mean
+    to the device (see :func:`augment_train`)."""
     h, w = input_size
-    out = _bgr_mean_sub(resize_bilinear_np(img, (h, w)))
+    resized = resize_bilinear_np(img, (h, w))
+    if wire_dtype == "uint8":
+        out = np.clip(np.round(resized), 0, 255).astype(np.uint8)
+    else:
+        out = _bgr_mean_sub(resized).astype(np.float32)
     if label is None:
-        return out.astype(np.float32), None
+        return out, None
     lab = label[:, :, None] if label.ndim == 2 else label
     lab = resize_nearest_np(lab, (h, w))
-    return out.astype(np.float32), lab.astype(np.float32)
+    lab_dtype = np.uint8 if wire_dtype == "uint8" else np.float32
+    return out, lab.astype(lab_dtype)

@@ -195,7 +195,7 @@ def batch_iterator(
             rng = np.random.default_rng(
                 np.random.SeedSequence([seed, epoch, idx, 0xA46])
             )
-            return augment_train(
+            img_p, lab_p = augment_train(
                 img,
                 label,
                 rng,
@@ -203,8 +203,20 @@ def batch_iterator(
                 scale_range=cfg.scale_range,
                 random_scale=cfg.random_scale,
                 flip=cfg.flip,
+                wire_dtype=cfg.wire_dtype,
             )
-        img_p, lab_p = preprocess_eval(img, label, input_size=cfg.input_size)
+            if cfg.train_label_size is not None:
+                # Host-side label shrink to score-map resolution: the same
+                # TF1 nearest grid the device path applies (reference
+                # deeplab.py:110), so training is bit-identical — just
+                # ~60x fewer label bytes over the wire.
+                from em_adapt_tpu.data.augment import resize_nearest_np
+
+                lab_p = resize_nearest_np(lab_p, tuple(cfg.train_label_size))
+            return img_p, lab_p
+        img_p, lab_p = preprocess_eval(
+            img, label, input_size=cfg.input_size, wire_dtype=cfg.wire_dtype
+        )
         return img_p, lab_p
 
     pool = cf.ThreadPoolExecutor(max_workers=max(1, num_workers))
@@ -266,8 +278,12 @@ def batch_iterator(
     finally:
         # Non-blocking teardown: consumers (e.g. Trainer.fit) may abandon
         # the generator mid-epoch; a blocking join at GC time races
-        # interpreter shutdown.
-        pool.shutdown(wait=False, cancel_futures=True)
+        # interpreter shutdown (where module globals may already be gone —
+        # hence the broad except).
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
 
 
 class DevicePrefetcher:

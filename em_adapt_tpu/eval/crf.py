@@ -119,28 +119,51 @@ def dense_crf(
       probs: [H, W, C] float softmax output (the unary is -log of this).
       rgb: [H, W, 3] uint8 original image.
       cfg: kernel hyperparameters (defaults = reference network.py:63).
-      method: "auto"/"grid" (bilateral-grid approximation, production) or
-        "exact" (brute-force O((HW)^2) kernels — the validation oracle,
-        tiny images only).
+      method: "auto" (native permutohedral lattice when buildable, else
+        bilateral grid), "permutohedral" (force the native lattice —
+        measured 2.5x closer to the exact kernel than the grid),
+        "grid" (pure-numpy bilateral-grid approximation), or "exact"
+        (brute-force O((HW)^2) kernels — the validation oracle, tiny
+        images only).
 
     Returns:
       [H, W, C] refined probabilities.
     """
     cfg = cfg or EvalConfig()
-    if method not in ("auto", "grid", "exact"):
-        raise ValueError(f"method={method!r}: expected 'auto', 'grid' or 'exact'")
+    if method not in ("auto", "permutohedral", "grid", "exact"):
+        raise ValueError(
+            f"method={method!r}: expected 'auto', 'permutohedral', 'grid' "
+            "or 'exact'"
+        )
+    if method == "auto":
+        from em_adapt_tpu.eval.permutohedral import available
+
+        method = "permutohedral" if available() else "grid"
     iters = cfg.crf_iterations if num_iterations is None else num_iterations
     probs = np.asarray(probs, np.float32)
+    h, w, c = probs.shape
     log_unary = np.log(np.maximum(probs, 1e-8))
     q = probs
     if method == "exact":
-        sp_feats = _spatial_feats(*probs.shape[:2], cfg.crf_g_sxy)
+        sp_feats = _spatial_feats(h, w, cfg.crf_g_sxy)
         bi_feats = _bilateral_feats(rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
+    elif method == "permutohedral":
+        from em_adapt_tpu.eval.permutohedral import PermutohedralLattice
+
+        bi_feats = _bilateral_feats(rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
+        # One lattice for all mean-field iterations (features are fixed).
+        lattice = PermutohedralLattice(bi_feats.reshape(h * w, -1))
 
     for _ in range(iters):
         if method == "exact":
             sp = _exact_kernel_filter(q, sp_feats)
             bi = _exact_kernel_filter(q, bi_feats)
+        elif method == "permutohedral":
+            # Spatial kernel: ndimage separable filtering IS the exact
+            # kernel (tests/test_crf.py); the lattice covers the 5-D
+            # bilateral where the grid approximation was the weak link.
+            sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
+            bi = lattice.filter(q.reshape(h * w, c)).reshape(h, w, c)
         else:
             sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
             bi = _bilateral_grid_filter(q, rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
@@ -154,4 +177,6 @@ def dense_crf(
         energy -= energy.max(-1, keepdims=True)
         e = np.exp(energy)
         q = e / e.sum(-1, keepdims=True)
+    if method == "permutohedral":
+        lattice.close()
     return q

@@ -130,6 +130,20 @@ def init_params(
         elif init_model is not None:  # fc8 under pretrained init
             w = _xavier_uniform(wkey, (kh, kw, cin, cout))
             b = _xavier_uniform(bkey, (cout,))
+        elif cfg.init_scheme == "he":
+            # Kaiming-normal fan-in: keeps activation variance through the
+            # ReLU stack — required for from-scratch training (the
+            # reference scheme below collapses to ~1e-11 logits). The fc8
+            # head stays small so initial logits are near zero (CE starts
+            # at ln(C), gradients bounded).
+            if name == "fc8":
+                w = 0.01 * jax.random.normal(wkey, (kh, kw, cin, cout), jnp.float32)
+            else:
+                fan_in = kh * kw * cin
+                w = jnp.sqrt(2.0 / fan_in) * jax.random.normal(
+                    wkey, (kh, kw, cin, cout), jnp.float32
+                )
+            b = jnp.zeros((cout,), jnp.float32)
         else:
             w = 0.01 * jax.random.normal(wkey, (kh, kw, cin, cout), jnp.float32)
             b = jnp.zeros((cout,), jnp.float32)
@@ -172,9 +186,17 @@ class DeepLabLargeFOV:
         train: bool = False,
         rng: jax.Array | None = None,
     ) -> jax.Array:
-        """Forward pass. x: [B,H,W,3] preprocessed (BGR, mean-subtracted).
+        """Forward pass. x: [B,H,W,3] — float inputs are assumed
+        preprocessed (BGR, mean-subtracted); uint8 inputs are raw RGB and
+        get the BGR+Caffe-mean normalization ON DEVICE (the compact wire
+        format, DataConfig.wire_dtype="uint8": 4x less H2D traffic, and
+        XLA fuses the cast/swap/subtract into the first conv's input).
         Returns fc8 logits [B, H/8(ceil), W/8(ceil), C]."""
         cfg = self.cfg
+        if x.dtype == jnp.uint8:
+            from em_adapt_tpu.data.augment import BGR_MEAN
+
+            x = x.astype(jnp.float32)[..., ::-1] - jnp.asarray(BGR_MEAN)
         compute_dtype = (
             jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         )

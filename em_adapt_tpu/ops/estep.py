@@ -184,13 +184,14 @@ def estep_labels(
             vmap_method="sequential",
         )
         return jnp.argmax(biased, axis=3).astype(jnp.int32)
-    # The Pallas kernel keeps the whole batch resident in VMEM
-    # ([C,B,HW] in + out + scratch); guard against huge inputs.
-    vmem_bytes = (2 * c + 2) * b * h * w * 4
+    # The Pallas kernel grids over batch tiles, so any batch size fits;
+    # only a single image too large for VMEM forces the XLA path.
+    from em_adapt_tpu.ops.estep_pallas import batch_tile
+
     use_pallas = cfg.impl == "pallas" or (
         cfg.impl == "auto"
         and jax.default_backend() == "tpu"
-        and vmem_bytes < 10 * 1024 * 1024
+        and batch_tile(b, h * w, c) >= 1
     )
     if use_pallas:
         from em_adapt_tpu.ops.estep_pallas import estep_pallas as impl

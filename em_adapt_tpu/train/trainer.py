@@ -51,7 +51,12 @@ def loss_fn(
     out_hw = (logits.shape[1], logits.shape[2])
 
     # Label shrink to score-map resolution (reference deeplab.py:110).
-    shrunk = resize_nearest_tf(batch["label"], out_hw)[..., 0]  # [B,h,w] f32
+    # Labels already at out_hw were shrunk on the host with the identical
+    # TF1 grid (DataConfig.train_label_size — the compact wire format).
+    if batch["label"].shape[1:3] == out_hw:
+        shrunk = batch["label"][..., 0]
+    else:
+        shrunk = resize_nearest_tf(batch["label"], out_hw)[..., 0]  # [B,h,w]
 
     orders = make_class_orders(order_rng, cfg.estep.num_iter, num_classes)
     weak = estep_labels(logits, shrunk, orders, cfg.estep)  # [B,h,w] int32
@@ -271,8 +276,9 @@ class Trainer:
         if cfg.data.prefetch > 0 and not isinstance(batches, DevicePrefetcher):
             prefetcher = DevicePrefetcher(batches, self.plan, depth=cfg.data.prefetch)
             batches = prefetcher
-        t0 = time.time()
+        t_window = time.time()
         n_done = 0
+        n_window = 0
         watchdog = LossWatchdog()
         with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
             if prefetcher is not None:
@@ -296,19 +302,25 @@ class Trainer:
                 n_done += 1
                 step_idx += 1
                 if step_idx % cfg.train.log_every_steps == 0:
+                    # The ONLY recurring device sync: fetching the scalar
+                    # metrics here also drains the dispatch queue, so the
+                    # window below measures true steady-state throughput
+                    # (the first window additionally pays the compile).
                     m = jax.device_get(metrics)
                     reason = watchdog.check(m["loss"])
                     if reason is not None:
                         raise RuntimeError(f"training unhealthy: {reason}")
                     if log_fn is not None:
+                        now = time.time()
                         m.update(
                             step=step_idx,
                             epoch=step_idx / self.steps_per_epoch,
                             lr=float(self.sched(step_idx)),
-                            images_per_sec=n_done
+                            images_per_sec=(n_done - n_window)
                             * cfg.train.batch_size
-                            / (time.time() - t0),
+                            / (now - t_window),
                         )
+                        t_window, n_window = now, n_done
                         log_fn(m)
                 if (
                     eval_fn is not None

@@ -214,6 +214,35 @@ def test_device_prefetcher_roundtrip_and_close():
     assert not pf2._thread.is_alive()
 
 
+def test_jpeg_decoder_parity_vs_tf():
+    """Quantify PIL-vs-TF JPEG decode drift (SURVEY §7 flag; the reference
+    decodes with tf.io.decode_image, reference dataset.py:118-124; our
+    loader uses PIL). Measured on synthetic natural-ish JPEGs (q75):
+    max |d| = 3, mean ~0.8 intensity levels — different IDCT roundings,
+    not a bug. This bound is the noise floor under any future
+    real-data mIoU comparison between the two pipelines."""
+    tf = pytest.importorskip("tensorflow")
+    import io
+
+    from PIL import Image
+    from scipy import ndimage
+
+    rng = np.random.default_rng(0)
+    for q in (75, 95):
+        img = ndimage.gaussian_filter(rng.uniform(0, 255, (120, 160, 3)), (6, 6, 0))
+        img[30:90, 40:120] = ndimage.gaussian_filter(
+            rng.uniform(0, 255, (60, 80, 3)), (2, 2, 0)
+        )
+        buf = io.BytesIO()
+        Image.fromarray(img.astype(np.uint8)).save(buf, format="JPEG", quality=q)
+        data = buf.getvalue()
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).astype(np.int32)
+        tfd = tf.io.decode_image(data, channels=3).numpy().astype(np.int32)
+        d = np.abs(pil - tfd)
+        assert d.max() <= 6, (q, d.max())
+        assert d.mean() <= 1.5, (q, d.mean())
+
+
 def test_voc_strong_list(tmp_path):
     from em_adapt_tpu.data.pipeline import VOCSegmentation
 

@@ -60,6 +60,33 @@ def test_pallas_matches_oracle_random(rng):
         np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
 
 
+def test_pallas_batch_tiling_matches_oracle(rng, monkeypatch):
+    """Force a tiny VMEM budget so the kernel grids over several batch
+    tiles (incl. a padded final tile) — results must still match the
+    oracle exactly (global-batch-max semantics are computed pre-tiling)."""
+    import em_adapt_tpu.ops.estep_pallas as mod
+
+    b, h, w, c = 7, 9, 9, 5
+    per_image = (2 * c + 2) * h * w * 4
+    monkeypatch.setattr(mod, "_TILE_BYTES", per_image * 2)  # tile_b=2 -> 4 tiles
+    assert mod.batch_tile(b, h * w, c) == 2
+
+    scores = rng.normal(size=(b, h, w, c)).astype(np.float32) - 3.0  # all < 0
+    label = rng.integers(0, c + 2, size=(b, h, w)).astype(np.float32)
+    label[label >= c] = 255.0
+    orders = np.stack(
+        [rng.permutation(np.arange(1, c)) for _ in range(2)]
+    ).astype(np.int32)
+    want = estep_oracle(scores, label, orders=orders, num_iter=2)
+    got = np.asarray(
+        estep_pallas(
+            jnp.asarray(scores), jnp.asarray(label), jnp.asarray(orders), num_iter=2
+        )
+    )
+    np.testing.assert_array_equal(got.argmax(3), want.argmax(3))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
+
+
 def test_pallas_threshold_bitexact_single_class(rng):
     """With one present fg class and suppression off, the bias added to
     that channel must be the exact float np.partition selects."""
