@@ -49,6 +49,11 @@ class ModelConfig:
     input_channels: int = 3
     #: TF1 ``tf.nn.dropout`` keep probability (reference deeplab.py:104, :266).
     dropout_keep_prob: float = 0.5
+    #: Uniform width multiplier on every VGG conv block (64..512 -> x m).
+    #: 1.0 is the reference architecture; smaller values give cheap model
+    #: variants for CPU tests and ablations (fc6 width stays
+    #: ``fc6_channels``).
+    width_multiplier: float = 1.0
     #: Atrous rates: conv5 blocks rate 2 (reference deeplab.py:65),
     #: fc6 rate 4 (reference deeplab.py:92).
     conv5_rate: int = 2

@@ -114,7 +114,8 @@ class LearnableSyntheticVOC:
     )
 
     def __init__(self, n: int = 64, num_classes: int = 4, seed: int = 0,
-                 category: str = "train", image_size: int = 33):
+                 category: str = "train", image_size: int = 33,
+                 strong_fraction: float = 0.0):
         assert 2 <= num_classes <= len(self.CLASS_COLORS)
         self.n = n
         self.num_classes = num_classes
@@ -122,7 +123,9 @@ class LearnableSyntheticVOC:
         self.category = category
         self.image_size = image_size
         self.ids = [f"blob_{category}_{i:06d}" for i in range(n)]
-        self.is_strong = np.zeros(n, bool)
+        # First ceil(f*n) images are strongly labeled (deterministic so
+        # the strong subset is identical across runs/arms of a comparison).
+        self.is_strong = np.arange(n) < int(np.ceil(strong_fraction * n))
 
     def __len__(self) -> int:
         return self.n

@@ -64,26 +64,33 @@ POOLS: dict[str, int] = {
 
 def vgg_conv_specs(cfg: ModelConfig) -> tuple[tuple[str, int, int, int, int, int], ...]:
     """The VGG trunk specs with the config knobs applied: conv1_1 input
-    channels (``cfg.input_channels``) and the conv5 atrous rate
-    (``cfg.conv5_rate``, reference deeplab.py:65)."""
+    channels (``cfg.input_channels``), the conv5 atrous rate
+    (``cfg.conv5_rate``, reference deeplab.py:65), and the uniform width
+    multiplier (cheap model variants; 1.0 = reference widths)."""
+    m = cfg.width_multiplier
+
+    def scale(c: int) -> int:
+        return c if m == 1.0 else max(8, int(round(c * m)))
+
     out = []
     for name, kh, kw, cin, cout, rate in VGG_CONV_SPECS:
-        if name == "conv1_1":
-            cin = cfg.input_channels
+        cin = cfg.input_channels if name == "conv1_1" else scale(cin)
         if name.startswith("conv5"):
             rate = cfg.conv5_rate
-        out.append((name, kh, kw, cin, cout, rate))
+        out.append((name, kh, kw, cin, scale(cout), rate))
     return tuple(out)
 
 
 def layer_specs(cfg: ModelConfig) -> tuple[tuple[str, int, int, int, int, int], ...]:
     """All parameterized layers including the atrous-FC head."""
+    trunk = vgg_conv_specs(cfg)
+    trunk_out = trunk[-1][4]
     fc = (
-        ("fc6", 4, 4, 512, cfg.fc6_channels, cfg.fc6_rate),
+        ("fc6", 4, 4, trunk_out, cfg.fc6_channels, cfg.fc6_rate),
         ("fc7", 1, 1, cfg.fc6_channels, cfg.fc6_channels, 1),
         ("fc8", 1, 1, cfg.fc6_channels, cfg.num_classes, 1),
     )
-    return vgg_conv_specs(cfg) + fc
+    return trunk + fc
 
 
 LAYER_SPECS = layer_specs(ModelConfig())

@@ -142,6 +142,18 @@ def test_config_knobs_wire_into_architecture():
     assert not np.allclose(np.asarray(out2), np.asarray(out3), atol=0, rtol=1e-3)
 
 
+def test_width_multiplier_variant():
+    cfg = ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=16,
+                      width_multiplier=0.25)
+    model = DeepLabLargeFOV(cfg)
+    params = model.init(jax.random.key(0))
+    assert params["conv1_1"]["w"].shape == (3, 3, 3, 16)  # 64 * 0.25
+    assert params["conv5_3"]["w"].shape == (3, 3, 128, 128)  # 512 * 0.25
+    assert params["fc6"]["w"].shape == (4, 4, 128, 16)
+    out = model.apply(params, jnp.zeros((1, 33, 33, 3)))
+    assert out.shape == (1, 5, 5, 4)
+
+
 def test_weight_l2_excludes_bias():
     z = np.load(os.path.join(FIX, "model_small.npz"))
     params = small_params_from_fixture(z)
