@@ -18,11 +18,16 @@ and timed on this machine's CPU via tools/measure_tf_baseline.py
 (2026-08-16). The reference repo publishes no throughput numbers
 (BASELINE.md), so this measured proxy is the baseline.
 
-Timing notes: steps are chained back-to-back with donated state and only
-scalar metrics fetched per step — device-to-host transfers of tensors are
-excluded, matching how a real training loop behaves (the input batch is
-uploaded once here; the real pipeline overlaps H2D with compute via the
-prefetcher).
+Timing notes: 10 microbatch steps are fused into ONE dispatch
+(``make_macro_step`` — lax.scan over the step, exactly what
+``train.macro_steps=10`` runs in production) with donated state; a scalar
+metric is fetched once per macro dispatch. Device-to-host tensor
+transfers are excluded, matching how a real training loop behaves (the
+input batch is uploaded once here; the real pipeline overlaps H2D with
+compute via the prefetcher + the compact uint8 wire format). Round 1
+timed one dispatch + one scalar sync PER STEP, which on this rig's axon
+relay (~30 ms round trip) under-reported the loop the product actually
+runs by ~25%.
 """
 
 from __future__ import annotations
@@ -42,14 +47,20 @@ def main() -> None:
     from em_adapt_tpu.config import ExperimentConfig, MeshConfig, ModelConfig
     from em_adapt_tpu.train import Trainer
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/em_adapt_jax_cache")
     n_dev = jax.device_count()
+    K = 10  # microsteps fused per dispatch
     cfg = ExperimentConfig(
         model=ModelConfig(compute_dtype="bfloat16"),
         mesh=MeshConfig(axes=(("data", n_dev),)),
     )
     # Per-chip batch 6 (the reference's), scaled by data parallelism.
+    # rng_impl="rbg": the TPU hardware RNG for dropout masks — threefry
+    # mask generation alone cost ~32 ms/step at this shape (PROFILE.md).
     batch = 6 * n_dev
-    cfg = cfg.replace(train=cfg.train.__class__(batch_size=batch))
+    cfg = cfg.replace(
+        train=cfg.train.__class__(batch_size=batch, macro_steps=K, rng_impl="rbg")
+    )
 
     trainer = Trainer(cfg, steps_per_epoch=1763)
     state = trainer.init_state()
@@ -60,18 +71,18 @@ def main() -> None:
         "label": g.integers(0, 21, size=(batch, 321, 321, 1)).astype(np.float32),
     }
     sb = trainer.plan.shard_batch(host_batch)
+    macro_batch = tuple([sb] * K)
 
-    # Warmup (compile + 2 steps).
-    for _ in range(3):
-        state, metrics = trainer.train_step(state, sb)
-        float(jax.device_get(metrics["loss"]))
+    # Warmup (compile + K steps).
+    state, metrics = trainer.macro_step(state, macro_batch)
+    float(jax.device_get(metrics["loss"]))
 
-    n = 10
+    n = 3  # macro dispatches = 30 steps
     t0 = time.perf_counter()
     for _ in range(n):
-        state, metrics = trainer.train_step(state, sb)
-        float(jax.device_get(metrics["loss"]))  # scalar sync each step
-    dt = (time.perf_counter() - t0) / n
+        state, metrics = trainer.macro_step(state, macro_batch)
+        float(jax.device_get(metrics["loss"]))  # scalar sync per dispatch
+    dt = (time.perf_counter() - t0) / (n * K)
 
     ips_per_chip = batch / dt / n_dev
     print(

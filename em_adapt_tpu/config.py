@@ -183,6 +183,19 @@ class TrainConfig:
     eval_protocol: str = "fixed"
     #: Donate train state buffers to the jitted step.
     donate_state: bool = True
+    #: Fuse this many microbatch steps into ONE dispatch (lax.scan).
+    #: Semantically identical to single stepping; amortizes per-dispatch
+    #: host overhead (vital on dispatch-latency-limited links). Log/eval/
+    #: checkpoint cadences quantize to the macro boundary. 1 = off.
+    macro_steps: int = 1
+    #: PRNG implementation for the train-state key (dropout masks, E-step
+    #: class orders). "threefry" is JAX's default counter-based generator;
+    #: "rbg" uses the TPU's hardware RNG — measured 32 ms/step of threefry
+    #: mask generation drops to ~0 (the two fc6/fc7 dropout masks are 41M
+    #: elements each at the production shape). Both are deterministic per
+    #: seed; the dropout PATTERN differs between the two (training is
+    #: stochastic either way — the reference never pinned it).
+    rng_impl: str = "threefry"
 
 
 @dataclasses.dataclass(frozen=True)

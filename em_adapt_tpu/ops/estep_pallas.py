@@ -137,11 +137,18 @@ _TILE_BYTES = 8 * 1024 * 1024
 
 
 def batch_tile(b: int, hw: int, c: int) -> int:
-    """Largest batch tile whose resident state fits the VMEM budget.
-    Returns 0 if even one image doesn't fit (caller must use the XLA
-    path)."""
+    """Largest usable batch tile under the VMEM budget.
+
+    A single whole-batch tile may have any size (Pallas allows a block
+    equal to the overall dim); an actual GRID of tiles needs the sublane
+    (batch) dim 8-aligned on real TPUs. Returns 0 when no valid tile
+    exists (caller must use the XLA path)."""
     per_image = (2 * c + 2) * hw * 4
-    return min(b, _TILE_BYTES // per_image)
+    cap = _TILE_BYTES // per_image
+    if b <= cap:
+        return b
+    aligned = (cap // 8) * 8
+    return aligned  # 0 -> fall back to XLA
 
 
 @functools.partial(
@@ -177,6 +184,11 @@ def estep_pallas(
         interpret = jax.default_backend() != "tpu"
 
     tile_b = batch_tile(b, hw, c)
+    if tile_b < 1:
+        raise ValueError(
+            f"estep_pallas: no valid VMEM tile for shape {scores.shape} "
+            f"(per-image state {(2 * c + 2) * hw * 4} B); use the XLA path"
+        )
     n_tiles = -(-b // tile_b)
     b_pad = n_tiles * tile_b
 

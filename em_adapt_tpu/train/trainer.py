@@ -90,6 +90,23 @@ def loss_fn(
     return total, {"loss": total, "loss_norm": ce, "loss_l2": l2}
 
 
+def _step_fn(model, cfg: ExperimentConfig, tx: optax.GradientTransformation):
+    """The raw (unjitted) microbatch step."""
+
+    def step(state: TrainState, batch: dict):
+        rng, new_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=new_rng
+        )
+        return new_state, metrics
+
+    return step
+
+
 def make_train_step(
     model,
     cfg: ExperimentConfig,
@@ -105,18 +122,7 @@ def make_train_step(
     every collective: the gradient psum over data, and the all-gathers /
     reduce-scatters the TP layout implies.
     """
-
-    def step(state: TrainState, batch: dict):
-        rng, new_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=new_rng
-        )
-        return new_state, metrics
-
+    step = _step_fn(model, cfg, tx)
     repl = plan.replicated()
     state_sh = state_shardings if state_shardings is not None else repl
     # The batch's shardings are inferred from the (already device_put,
@@ -124,6 +130,44 @@ def make_train_step(
     # 1-D per-image flags are dp-only.
     return jax.jit(
         step,
+        in_shardings=(state_sh, None),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,) if cfg.train.donate_state else (),
+    )
+
+
+def make_macro_step(
+    model,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    plan: MeshPlan,
+    k: int,
+    state_shardings=None,
+) -> Callable[[TrainState, tuple], tuple[TrainState, dict]]:
+    """K microbatch steps fused into ONE dispatch via ``lax.scan``.
+
+    Semantically identical to calling the microbatch step K times (same
+    per-step RNG folding on ``state.step``, same MultiSteps accumulation),
+    but the host issues one executable per K steps — on dispatch-latency-
+    limited links (this rig's axon relay has a ~30 ms per-dispatch floor)
+    that overhead amortizes by K. Takes a TUPLE of K batch dicts (same
+    shardings as the single step); returns the state after K steps and the
+    LAST step's metrics.
+    """
+    step = _step_fn(model, cfg, tx)
+
+    def macro(state: TrainState, batches: tuple):
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        return jax.lax.scan(lambda s, b: step(s, b), state, stacked)
+
+    def macro_last(state, batches):
+        state, ms = macro(state, batches)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    repl = plan.replicated()
+    state_sh = state_shardings if state_shardings is not None else repl
+    return jax.jit(
+        macro_last,
         in_shardings=(state_sh, None),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,) if cfg.train.donate_state else (),
@@ -162,11 +206,25 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, cfg, self.tx, self.plan, self.state_shardings
         )
+        self.macro_step = None
+        if cfg.train.macro_steps > 1:
+            self.macro_step = make_macro_step(
+                self.model, cfg, self.tx, self.plan, cfg.train.macro_steps,
+                self.state_shardings,
+            )
         self._ckpt = None
         self._best_metric = float("-inf")
 
     def _build_state(self, key: jax.Array) -> TrainState:
         k_params, k_state = jax.random.split(key)
+        if self.cfg.train.rng_impl != "threefry":
+            # Re-key the training stream on the configured implementation
+            # (e.g. the TPU hardware "rbg" generator — dropout mask
+            # generation is ~32 ms/step cheaper at the production shape).
+            k_state = jax.random.key(
+                jax.random.randint(k_state, (), 0, 2**31 - 1),
+                impl=self.cfg.train.rng_impl,
+            )
         return TrainState.create(self.model.init(k_params), self.tx, k_state)
 
     def _state_shardings_or_replicated(self):
@@ -280,6 +338,8 @@ class Trainer:
         n_done = 0
         n_window = 0
         watchdog = LossWatchdog()
+        macro_k = max(1, cfg.train.macro_steps) if self.macro_step else 1
+        buf: list = []
         with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
             if prefetcher is not None:
                 stack.callback(prefetcher.close)
@@ -293,15 +353,30 @@ class Trainer:
                     self.checkpointer.save(state, tag="norm")
                     self.checkpointer.wait()
                     break
-                if cfg.checkpoint.snapshot_on_lr_drop and step_idx in lr_drop_steps:
-                    self.checkpointer.save(state, tag="lr")
                 arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
                 if not all(isinstance(v, jax.Array) for v in arrays.values()):
                     arrays = self.plan.shard_batch(arrays)
-                state, metrics = self.train_step(state, arrays)
-                n_done += 1
-                step_idx += 1
-                if step_idx % cfg.train.log_every_steps == 0:
+                # Macro stepping: fuse K microsteps into one dispatch when
+                # a full window remains; singles cover the tail.
+                use_macro = macro_k > 1 and total_steps - step_idx >= macro_k
+                if use_macro:
+                    buf.append(arrays)
+                    if len(buf) < macro_k:
+                        continue
+                advance = macro_k if use_macro else 1
+                if cfg.checkpoint.snapshot_on_lr_drop and any(
+                    step_idx <= s < step_idx + advance for s in lr_drop_steps
+                ):
+                    self.checkpointer.save(state, tag="lr")
+                if use_macro:
+                    state, metrics = self.macro_step(state, tuple(buf))
+                    buf = []
+                else:
+                    state, metrics = self.train_step(state, arrays)
+                prev_idx = step_idx
+                n_done += advance
+                step_idx += advance
+                if prev_idx // cfg.train.log_every_steps < step_idx // cfg.train.log_every_steps:
                     # The ONLY recurring device sync: fetching the scalar
                     # metrics here also drains the dispatch queue, so the
                     # window below measures true steady-state throughput
@@ -325,7 +400,8 @@ class Trainer:
                 if (
                     eval_fn is not None
                     and cfg.train.eval_every_steps
-                    and step_idx % cfg.train.eval_every_steps == 0
+                    and prev_idx // cfg.train.eval_every_steps
+                    < step_idx // cfg.train.eval_every_steps
                 ):
                     score = float(eval_fn(state))
                     if log_fn is not None:
@@ -333,6 +409,9 @@ class Trainer:
                     if score > self._best_metric:
                         self._best_metric = score
                         self.checkpointer.save(state, tag="best")
-                if step_idx % cfg.checkpoint.save_every_steps == 0:
+                if (
+                    prev_idx // cfg.checkpoint.save_every_steps
+                    < step_idx // cfg.checkpoint.save_every_steps
+                ):
                     self.checkpointer.save(state, tag="norm")
         return state

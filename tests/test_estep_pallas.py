@@ -66,10 +66,11 @@ def test_pallas_batch_tiling_matches_oracle(rng, monkeypatch):
     oracle exactly (global-batch-max semantics are computed pre-tiling)."""
     import em_adapt_tpu.ops.estep_pallas as mod
 
-    b, h, w, c = 7, 9, 9, 5
+    b, h, w, c = 20, 9, 9, 5
     per_image = (2 * c + 2) * h * w * 4
-    monkeypatch.setattr(mod, "_TILE_BYTES", per_image * 2)  # tile_b=2 -> 4 tiles
-    assert mod.batch_tile(b, h * w, c) == 2
+    # budget for 9 images -> 8-aligned grid tiles of 8, padded to 24
+    monkeypatch.setattr(mod, "_TILE_BYTES", per_image * 9)
+    assert mod.batch_tile(b, h * w, c) == 8
 
     scores = rng.normal(size=(b, h, w, c)).astype(np.float32) - 3.0  # all < 0
     label = rng.integers(0, c + 2, size=(b, h, w)).astype(np.float32)

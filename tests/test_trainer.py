@@ -188,6 +188,69 @@ def test_semi_supervised_masks_void(rng):
     assert np.isfinite(float(total2))
 
 
+def test_macro_step_matches_single_stepping(rng):
+    """macro_steps=K (lax.scan fused dispatch) must follow the same
+    training trajectory as K single steps (same RNG folding on state.step,
+    same MultiSteps accumulation) — to float tolerance: XLA fuses the scan
+    body differently, so reduction orders differ slightly."""
+    cfg = tiny_cfg(
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, macro_steps=2,
+                          donate_state=False),
+        optim=OptimConfig(accum_steps=2, lr_schedule=()),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=4)
+    assert trainer.macro_step is not None
+    state0 = trainer.init_state()
+    batches = [
+        jax.tree.map(jnp.asarray, tiny_batch(np.random.default_rng(i)))
+        for i in range(4)
+    ]
+    sharded = [trainer.plan.shard_batch(b) for b in batches]
+
+    s_single = state0
+    for b in sharded:
+        s_single, m_single = trainer.train_step(s_single, b)
+
+    s_macro = state0
+    for pair in (tuple(sharded[:2]), tuple(sharded[2:])):
+        s_macro, m_macro = trainer.macro_step(s_macro, pair)
+
+    assert int(jax.device_get(s_macro.step)) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-8
+        ),
+        s_single.params,
+        s_macro.params,
+    )
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_macro["loss"]), rtol=1e-6
+    )
+
+
+def test_fit_with_macro_steps(rng, tmp_path):
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=4, async_save=False
+        ),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, log_every_steps=2,
+                          macro_steps=2),
+        optim=OptimConfig(accum_steps=2, lr_schedule=((1, 1e-4),)),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.init_state()
+    logs = []
+    state = trainer.fit(state, (tiny_batch(rng) for _ in range(10)),
+                        log_fn=logs.append)
+    assert int(jax.device_get(state.step)) == 6
+    assert logs and any("loss" in m for m in logs)
+    # cadence still fires on crossings (save_every=4 crossed at step 4)
+    assert trainer.checkpointer.latest_step("norm") == 4
+    # lr snapshot at the epoch-1 boundary (step 3, inside a macro window)
+    assert trainer.checkpointer.latest_step("lr") is not None
+    trainer.checkpointer.close()
+
+
 def test_trainer_fit_loop(rng, tmp_path):
     cfg = tiny_cfg(
         checkpoint=ExperimentConfig().checkpoint.__class__(

@@ -42,7 +42,7 @@ def launch(
     steps: int = 2,
     devices_per_process: int = 4,
     workdir: str | None = None,
-    timeout: float = 600.0,
+    timeout: float = 1800.0,
 ) -> str:
     """Run the dryrun; returns the path of process 0's metrics JSONL.
 

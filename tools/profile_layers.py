@@ -132,8 +132,18 @@ def main() -> None:
         if not args.fwd_only:
             def loss(p, x, n=name):
                 return jnp.sum(prefix_forward(x, p, n) ** 2)
-            t_b = timed(lambda x, p, n=name: jax.grad(loss)(p, x)[
-                "conv1_1"]["w"])
+
+            def grad_all(x, p, n=name):
+                # Sum over EVERY grad leaf — returning a single leaf lets
+                # XLA dead-code-eliminate the other layers' weight-grad
+                # matmuls and under-reports the backward by ~2x.
+                g_tree = jax.grad(loss)(p, x)
+                return sum(
+                    jnp.sum(g.astype(jnp.float32))
+                    for g in jax.tree.leaves(g_tree)
+                )
+
+            t_b = timed(grad_all)
             rec["cum_fwdbwd_ms"] = round(t_b * 1e3, 3)
             rec["fwdbwd_ms"] = round((t_b - prev_b) * 1e3, 3)
             rec["fwdbwd_tflops"] = round(
