@@ -110,6 +110,64 @@ def test_full_voc_workflow(voc_tree, tmp_path):
     trainer.checkpointer.close()
 
 
+def test_train_cli_production_knobs(voc_tree, tmp_path):
+    """Drive `em-adapt train` end-to-end on the miniature tree with the
+    production performance knobs: uint8 wire + host-shrunk labels +
+    macro-fused steps + rbg RNG."""
+    from em_adapt_tpu import cli
+
+    root, main = voc_tree
+    log = tmp_path / "m.jsonl"
+    rc = cli.main([
+        "train", "--steps", "4", "--log-jsonl", str(log),
+        "model.num_classes=21", "model.input_size=(33,33)",
+        "model.fc6_channels=8",
+        f"data.main_path={main}", f"data.list_dir={root / 'txt'}",
+        "data.input_size=(33,33)", "data.num_workers=2",
+        "data.wire_dtype=uint8", "data.train_label_size=(5,5)",
+        "estep.num_iter=2", "optim.accum_steps=2",
+        "train.batch_size=8", "train.log_every_steps=2",
+        "train.macro_steps=2", "train.rng_impl=rbg",
+        f"checkpoint.save_dir={tmp_path / 'saver'}",
+        "checkpoint.save_every_steps=1000000", "checkpoint.async_save=False",
+    ])
+    assert rc == 0
+    import json
+
+    recs = [json.loads(line) for line in log.read_text().splitlines()]
+    assert recs and all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
+    assert recs[-1]["step"] == 4
+
+
+def test_train_cli_resume(voc_tree, tmp_path):
+    """`em-adapt train --resume` continues from the latest checkpoint
+    (reference 'resume' was warm-start-only; here the full state —
+    optimizer slots, step, schedule position — comes back)."""
+    from em_adapt_tpu import cli
+
+    root, main = voc_tree
+    common = [
+        "model.num_classes=21", "model.input_size=(33,33)",
+        "model.fc6_channels=8",
+        f"data.main_path={main}", f"data.list_dir={root / 'txt'}",
+        "data.input_size=(33,33)", "data.num_workers=2",
+        "estep.num_iter=2", "optim.accum_steps=2",
+        "train.batch_size=8", "train.log_every_steps=1",
+        f"checkpoint.save_dir={tmp_path / 'saver'}",
+        "checkpoint.save_every_steps=1000000", "checkpoint.async_save=False",
+    ]
+    assert cli.main(["train", "--steps", "2"] + common) == 0
+    log = tmp_path / "resume.jsonl"
+    assert cli.main(
+        ["train", "--resume", "--steps", "4", "--log-jsonl", str(log)] + common
+    ) == 0
+    import json
+
+    recs = [json.loads(line) for line in log.read_text().splitlines()]
+    steps = [r["step"] for r in recs if "loss" in r]
+    assert steps == [3, 4], steps  # continued from step 2, not from 0
+
+
 def test_predict_cli_on_voc_images(voc_tree, tmp_path):
     """Drive the serving CLI end-to-end on the miniature tree."""
     from em_adapt_tpu import cli

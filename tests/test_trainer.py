@@ -272,6 +272,50 @@ def test_trainer_fit_loop(rng, tmp_path):
     trainer.checkpointer.close()
 
 
+def test_restore_state_roundtrip(rng, tmp_path):
+    """restore_state materializes the FULL state (params + MultiSteps
+    accumulators + momentum + step + PRNG key) straight onto the mesh —
+    resuming mid-accumulation-window must continue the same trajectory."""
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=3, async_save=False
+        ),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, donate_state=False,
+                          rng_impl="rbg"),
+        optim=OptimConfig(accum_steps=2, lr_schedule=()),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.init_state()
+    batches = [
+        trainer.plan.shard_batch(
+            {k: jnp.asarray(v) for k, v in tiny_batch(np.random.default_rng(i)).items()}
+        )
+        for i in range(5)
+    ]
+    # 3 steps (ends MID-accumulation window), checkpoint, 2 more steps.
+    for b in batches[:3]:
+        state, _ = trainer.train_step(state, b)
+    trainer.checkpointer.save(state, tag="norm")
+    trainer.checkpointer.wait()
+    for b in batches[3:]:
+        state, _ = trainer.train_step(state, b)
+    want = jax.device_get(state.params)
+
+    # Fresh trainer restores and replays the same two steps.
+    trainer2 = Trainer(cfg, steps_per_epoch=3)
+    restored = trainer2.restore_state()
+    assert int(jax.device_get(restored.step)) == 3
+    for b in batches[3:]:
+        restored, _ = trainer2.train_step(restored, b)
+    got = jax.device_get(restored.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        want, got,
+    )
+    trainer.checkpointer.close()
+    trainer2.checkpointer.close()
+
+
 def test_fit_periodic_eval_saves_best(rng, tmp_path):
     cfg = tiny_cfg(
         checkpoint=ExperimentConfig().checkpoint.__class__(
