@@ -44,18 +44,31 @@ def miou_from_confusion(cm: np.ndarray) -> tuple[float, np.ndarray]:
 class ConfusionAccumulator:
     """Streaming confusion matrix over batches.
 
-    Per-batch counts are computed on device in int32 (a batch holds far
-    fewer than 2^31 pixels) and accumulated on the host in int64 — a
-    train-split evaluation (10,582 x 321^2 ~ 1.1e9 pixels) would overflow
-    an int32 background cell. The per-batch [C, C] transfer is 1.8 KB."""
+    Counts accumulate on DEVICE in int32 (keeping the eval loop's
+    dispatches async — no per-batch host sync) and flush to a host int64
+    total every ``flush_every`` batches: a train-split evaluation
+    (10,582 x 321^2 ~ 1.1e9 pixels) would overflow int32, but 128 batches
+    hold far fewer than 2^31 pixels. Each flush transfers 1.8 KB."""
 
-    def __init__(self, num_classes: int):
+    def __init__(self, num_classes: int, flush_every: int = 128):
         self.num_classes = num_classes
-        self._cm = np.zeros((num_classes, num_classes), np.int64)
+        self.flush_every = flush_every
+        self._host = np.zeros((num_classes, num_classes), np.int64)
+        self._dev = jnp.zeros((num_classes, num_classes), jnp.int32)
+        self._pending = 0
+
+    def _flush(self) -> None:
+        if self._pending:
+            self._host += np.asarray(jax.device_get(self._dev), np.int64)
+            self._dev = jnp.zeros_like(self._dev)
+            self._pending = 0
 
     def update(self, pred: jax.Array, gt: jax.Array) -> None:
-        batch_cm = confusion_matrix(pred, gt, self.num_classes)
-        self._cm += np.asarray(jax.device_get(batch_cm), np.int64)
+        self._dev = self._dev + confusion_matrix(pred, gt, self.num_classes)
+        self._pending += 1
+        if self._pending >= self.flush_every:
+            self._flush()
 
     def result(self) -> tuple[float, np.ndarray]:
-        return miou_from_confusion(self._cm)
+        self._flush()
+        return miou_from_confusion(self._host)

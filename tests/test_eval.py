@@ -42,6 +42,32 @@ def test_accumulator_streams():
     assert iou[0] == 1.0 and iou[2] == pytest.approx(0.5)
 
 
+def test_accumulator_chunked_flush_matches_direct():
+    """Device int32 accumulation + chunked int64 host flush must equal
+    per-batch accumulation regardless of where flush boundaries fall."""
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.eval.miou import ConfusionAccumulator
+
+    g = np.random.default_rng(0)
+    batches = [
+        (g.integers(0, 4, size=(2, 9, 9)), g.integers(0, 6, size=(2, 9, 9)))
+        for _ in range(7)
+    ]
+    a = ConfusionAccumulator(4, flush_every=3)
+    b = ConfusionAccumulator(4, flush_every=1)
+    for p, t in batches:
+        a.update(jnp.asarray(p), jnp.asarray(t))
+        b.update(jnp.asarray(p), jnp.asarray(t))
+    ma, ia = a.result()
+    mb, ib = b.result()
+    assert ma == mb
+    np.testing.assert_array_equal(
+        np.nan_to_num(ia, nan=-1), np.nan_to_num(ib, nan=-1)
+    )
+    assert a._host.dtype == np.int64
+
+
 def test_evaluator_fixed_and_voc(rng):
     from em_adapt_tpu.data.pipeline import SyntheticVOC, batch_iterator
     from em_adapt_tpu.config import DataConfig

@@ -142,6 +142,32 @@ def test_config_knobs_wire_into_architecture():
     assert not np.allclose(np.asarray(out2), np.asarray(out3), atol=0, rtol=1e-3)
 
 
+def test_uint8_input_normalized_on_device():
+    """uint8 RGB inputs (the compact wire format) must produce the same
+    logits as host-preprocessed float inputs, up to the <=0.5-intensity
+    wire rounding."""
+    from em_adapt_tpu.data.augment import augment_train
+
+    g = np.random.default_rng(0)
+    raw_img = g.integers(0, 256, size=(100, 140, 3), dtype=np.uint8)
+    raw_lab = g.integers(0, 4, size=(100, 140), dtype=np.uint8)
+    f_img, f_lab = augment_train(raw_img, raw_lab, np.random.default_rng(3),
+                                 input_size=(33, 33))
+    u_img, u_lab = augment_train(raw_img, raw_lab, np.random.default_rng(3),
+                                 input_size=(33, 33), wire_dtype="uint8")
+    assert u_img.dtype == np.uint8 and u_lab.dtype == np.uint8
+    np.testing.assert_array_equal(f_lab.astype(np.uint8), u_lab)  # exact
+
+    cfg = ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8,
+                      init_scheme="he")
+    model = DeepLabLargeFOV(cfg)
+    params = model.init(jax.random.key(0))
+    lf = np.asarray(model.apply(params, jnp.asarray(f_img)[None]))
+    lu = np.asarray(model.apply(params, jnp.asarray(u_img)[None]))
+    # He-init logits are O(1-10); 0.5-intensity input rounding stays small.
+    assert np.abs(lf - lu).max() < 0.05 * np.abs(lf).max()
+
+
 def test_width_multiplier_variant():
     cfg = ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=16,
                       width_multiplier=0.25)
