@@ -137,8 +137,11 @@ class LearnableSyntheticVOC:
         img = np.empty((s, s, 3), np.float32)
         img[:] = self.CLASS_COLORS[0] + g.normal(0, 18, (s, s, 3))
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        max_blobs = min(2, self.num_classes - 1)
         for cls in g.choice(
-            np.arange(1, self.num_classes), size=g.integers(1, 3), replace=False
+            np.arange(1, self.num_classes),
+            size=g.integers(1, max_blobs + 1),
+            replace=False,
         ):
             cy, cx = g.uniform(0.25 * s, 0.75 * s, 2)
             ry, rx = g.uniform(0.18 * s, 0.32 * s, 2)
@@ -256,9 +259,15 @@ def batch_iterator(
                 proto = next((r for r in results if r[0] is not None), None)
                 if proto is None:  # all-pad local block: build from specs
                     h, w = cfg.input_size
+                    lh, lw = (
+                        cfg.train_label_size
+                        if train and cfg.train_label_size is not None
+                        else (h, w)
+                    )
+                    dt = np.uint8 if cfg.wire_dtype == "uint8" else np.float32
                     proto = (
-                        np.zeros((h, w, 3), np.float32),
-                        np.full((h, w, 1), 255, np.float32),
+                        np.zeros((h, w, 3), dt),
+                        np.full((lh, lw, 1), 255, dt),
                     )
                 results = [
                     r
@@ -310,6 +319,8 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _fill(self):
+        import jax
+
         try:
             for batch in self._it:
                 if self._stop:
@@ -317,7 +328,13 @@ class DevicePrefetcher:
                 arrays = {
                     k: v for k, v in batch.items() if not isinstance(v, (list, str))
                 }
-                dev = self._plan.shard_batch(arrays)
+                # Already-device batches (e.g. --device-data cached arrays)
+                # pass through: re-putting them is wasted work single-host
+                # and WRONG multi-host (make_array_from_process_local_data
+                # would treat the global array as one process's shard).
+                if not all(isinstance(v, jax.Array) for v in arrays.values()):
+                    arrays = self._plan.shard_batch(arrays)
+                dev = dict(arrays)
                 for k, v in batch.items():  # pass host-only leaves through
                     if k not in dev:
                         dev[k] = v
@@ -328,10 +345,15 @@ class DevicePrefetcher:
                     except self._queue_mod.Full:
                         continue
         finally:
-            try:
-                self._q.put_nowait(self._done)
-            except self._queue_mod.Full:
-                pass
+            # The sentinel MUST be delivered (or the consumer blocks in
+            # get() forever once the queue drains) — retry past a
+            # transiently full queue just like the data puts.
+            while not self._stop:
+                try:
+                    self._q.put(self._done, timeout=0.1)
+                    break
+                except self._queue_mod.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -342,14 +364,26 @@ class DevicePrefetcher:
             raise StopIteration
         return item
 
-    def close(self) -> None:
+    def close(self, timeout: float = 60.0) -> None:
         """Stop the fill thread (consumers that exit early — e.g. a step cap
         or preemption — must call this so the thread doesn't keep decoding
-        and uploading batches forever on an endless iterator)."""
+        and uploading batches forever on an endless iterator). Waits until
+        the thread is actually dead — a silently-leaked thread still inside
+        the source generator would race the next consumer of that
+        generator ('generator already executing')."""
+        import time as _time
+
         self._stop = True
-        while True:  # unblock a put-in-progress and drain
-            try:
-                self._q.get_nowait()
-            except self._queue_mod.Empty:
-                break
-        self._thread.join(timeout=5)
+        deadline = _time.monotonic() + timeout
+        while self._thread.is_alive():
+            while True:  # unblock a put-in-progress
+                try:
+                    self._q.get_nowait()
+                except self._queue_mod.Empty:
+                    break
+            self._thread.join(timeout=0.2)
+            if _time.monotonic() > deadline:
+                raise RuntimeError(
+                    "DevicePrefetcher.close: fill thread still alive after "
+                    f"{timeout}s (stuck in decode or H2D transfer?)"
+                )

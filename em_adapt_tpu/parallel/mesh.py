@@ -96,16 +96,24 @@ class MeshPlan:
 
     def _leaf_sharding(self, name: str, v) -> NamedSharding:
         """Batch dim over data; spatial dim 1 over space for rank>=3
-        image-like arrays (1-D per-image flags stay data-sharded only)."""
+        image-like arrays (1-D per-image flags stay data-sharded only).
+
+        The image MUST divide over the space axis (that's the whole point
+        of spatial sharding — an indivisible input size is a config
+        error); auxiliary leaves that don't divide (e.g. a host-shrunk
+        41-row label under space=3, DataConfig.train_label_size) fall back
+        to data-only sharding — XLA reshards where the computation needs
+        it."""
         if self.num_space_shards > 1 and getattr(v, "ndim", 0) >= 3:
-            if v.shape[1] % self.num_space_shards:
+            if v.shape[1] % self.num_space_shards == 0:
+                return NamedSharding(self.mesh, P(self.data_axis, self.space_axis))
+            if name == "image":
                 raise ValueError(
-                    f"spatial sharding: {name} height {v.shape[1]} is not "
+                    f"spatial sharding: image height {v.shape[1]} is not "
                     f"divisible by the space axis ({self.num_space_shards}); "
                     f"pick an input size divisible by it (e.g. 321 with "
                     f"space=3) or set space=1"
                 )
-            return NamedSharding(self.mesh, P(self.data_axis, self.space_axis))
         return NamedSharding(self.mesh, P(self.data_axis))
 
     def _put(self, v, sharding: NamedSharding):

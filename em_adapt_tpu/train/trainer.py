@@ -390,7 +390,10 @@ class Trainer:
                         m.update(
                             step=step_idx,
                             epoch=step_idx / self.steps_per_epoch,
-                            lr=float(self.sched(step_idx)),
+                            # LR of the last EXECUTED step (sched(step_idx)
+                            # would report the next window's LR and place
+                            # drops one log window early in the JSONL).
+                            lr=float(self.sched(step_idx - 1)),
                             images_per_sec=(n_done - n_window)
                             * cfg.train.batch_size
                             / (now - t_window),
@@ -414,4 +417,15 @@ class Trainer:
                     < step_idx // cfg.checkpoint.save_every_steps
                 ):
                     self.checkpointer.save(state, tag="norm")
+            # A finite iterator can end mid-macro-window: flush the
+            # buffered (already device-put) batches through single steps
+            # so no training step is silently dropped. Skipped on
+            # preemption — those steps re-run after resume.
+            if buf and not shutdown.requested:
+                for arrays in buf:
+                    if step_idx >= total_steps:
+                        break
+                    state, metrics = self.train_step(state, arrays)
+                    n_done += 1
+                    step_idx += 1
         return state

@@ -39,6 +39,14 @@ def test_spatial_shard_batch_divisibility_error():
     plan = make_mesh(MeshConfig(axes=(("data", 4), ("space", 2))))
     with pytest.raises(ValueError, match="divisible"):
         plan.shard_batch({"image": np.zeros((8, 33, 33, 3), np.float32)})
+    # Indivisible NON-image leaves (e.g. host-shrunk 41-row labels under
+    # space=3) fall back to data-only sharding instead of erroring.
+    out = plan.shard_batch({
+        "image": np.zeros((8, 32, 32, 3), np.float32),
+        "label": np.zeros((8, 41, 41, 1), np.uint8),
+    })
+    assert tuple(out["image"].sharding.spec) == ("data", "space")
+    assert tuple(out["label"].sharding.spec) == ("data",)
 
 
 def test_dp_sp_train_step_matches_dp_only(rng):

@@ -272,6 +272,29 @@ def test_trainer_fit_loop(rng, tmp_path):
     trainer.checkpointer.close()
 
 
+def test_fit_returns_when_iterator_exhausts(rng, tmp_path):
+    """A finite batch iterator that ends before num_steps must terminate
+    fit (regression: the prefetcher dropped its end sentinel when the
+    queue was full -> fit hung in get() forever), and with macro_steps a
+    partial tail window must still be trained, not silently dropped."""
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=10**6,
+            async_save=False,
+        ),
+        train=TrainConfig(batch_size=8, epochs=100, seed=0,
+                          log_every_steps=10**6, macro_steps=2),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=1000)
+    state = trainer.init_state()
+    batches = (tiny_batch(rng) for _ in range(5))  # exhausts mid-window
+    state = trainer.fit(state, batches, num_steps=20)
+    # 2 macro windows (4 steps) + 1 flushed tail step = 5
+    assert int(jax.device_get(state.step)) == 5
+    trainer.checkpointer.close()
+
+
 def test_restore_state_roundtrip(rng, tmp_path):
     """restore_state materializes the FULL state (params + MultiSteps
     accumulators + momentum + step + PRNG key) straight onto the mesh —
