@@ -84,11 +84,13 @@ class DataConfig:
 
     main_path: str = "pascal/VOCdevkit/VOC2012"
     list_dir: str = "pascal/txt"
-    categories: tuple[str, ...] = ("train", "val")
     input_size: tuple[int, int] = (321, 321)
-    ignore_label: int = 255
-    #: Caffe BGR mean (reference dataset.py:15-18).
-    bgr_mean: tuple[float, float, float] = (104.00698793, 116.66876762, 122.67891434)
+    # NOT knobs (removed from the config on purpose): the 255 ignore label
+    # is the VOC mask format (any value >= num_classes is ignored, exactly
+    # like the reference's tag filter, reference estep.py:35-44), and the
+    # Caffe BGR mean is a constant of the pretrained init.npy weights
+    # (em_adapt_tpu.data.augment.BGR_MEAN, reference dataset.py:15-18) —
+    # configurable copies here were dead and could only drift.
     #: Train-time augmentation (reference dataset.py:127): random scale
     #: U(0.75, 1.25) then resize to input_size, shared-coin left-right flip.
     random_scale: bool = True
