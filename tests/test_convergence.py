@@ -14,6 +14,7 @@ jax = pytest.importorskip("jax")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(REPO, "CONVERGENCE.json")
+SUPERVISED = os.path.join(REPO, "SUPERVISED.json")
 
 
 def test_committed_rehearsal_artifact_passes():
@@ -27,6 +28,20 @@ def test_committed_rehearsal_artifact_passes():
     assert r["final_miou"] >= 0.22
     assert r["mean_fg_iou"] >= 0.08
     assert r["final_miou"] > r["init_miou"]
+
+
+def test_committed_supervised_artifact_passes():
+    """The strong-pixel-mask arm (semi_supervised path) must reach real
+    segmentation quality from 25 labeled images — the supervised-loss
+    learning signal complementing the weak-tag EM one."""
+    assert os.path.exists(SUPERVISED), (
+        "run tools/convergence_rehearsal.py --mode strong on TPU"
+    )
+    with open(SUPERVISED) as f:
+        r = json.load(f)
+    assert r["pass"] is True
+    assert r["final_miou"] >= 0.5
+    assert r["final_miou"] > r["init_miou"] + 0.2
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

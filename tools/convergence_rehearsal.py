@@ -36,6 +36,77 @@ import json
 import time
 
 
+def run_supervised_rehearsal(steps: int = 800, seed: int = 0, size: int = 65,
+                             log=print) -> dict:
+    """The STRONG-supervision arm: semi_supervised=True with fully
+    pixel-labeled blob images (the E-step bypassed, masked CE on true
+    masks — reference network.py:77-89 semantics). Validates the
+    supervised/semi-supervised loss path as a learning system: 25 strong
+    images must reach ~0.6 mIoU in ~800 steps (probed: 0.656/0.660 over
+    two seeds)."""
+    import jax
+
+    from em_adapt_tpu.config import (
+        CheckpointConfig,
+        DataConfig,
+        EStepConfig,
+        ExperimentConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from em_adapt_tpu.data.pipeline import LearnableSyntheticVOC, batch_iterator
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(size, size),
+                          fc6_channels=64, dropout_keep_prob=1.0,
+                          init_scheme="he", width_multiplier=0.5),
+        estep=EStepConfig(num_iter=5),
+        optim=OptimConfig(base_lr=1e-3, accum_steps=1, lr_schedule=()),
+        data=DataConfig(input_size=(size, size), num_workers=2,
+                        random_scale=False),
+        train=TrainConfig(batch_size=8, epochs=10 ** 6, seed=seed,
+                          log_every_steps=10 ** 6),
+        checkpoint=CheckpointConfig(save_every_steps=10 ** 9,
+                                    snapshot_on_lr_drop=False),
+        semi_supervised=True,
+    )
+    train_ds = LearnableSyntheticVOC(n=25, num_classes=4, seed=seed,
+                                     image_size=size, strong_fraction=1.0)
+    val_ds = LearnableSyntheticVOC(n=32, num_classes=4, seed=seed,
+                                   category="val", image_size=size)
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.init_state()
+    evaluator = Evaluator(cfg, trainer.model)
+
+    def val(state):
+        vb = batch_iterator(val_ds, cfg.data, batch_size=8, seed=0, epochs=1,
+                            train=False)
+        return evaluator.evaluate_fixed(state.params, vb)
+
+    t0 = time.time()
+    miou0, _ = val(state)
+    batches = batch_iterator(train_ds, cfg.data, batch_size=8, seed=seed,
+                             epochs=None, train=True)
+    state = trainer.fit(state, batches, num_steps=steps)
+    final, iou = val(state)
+    result = {
+        "task": "LearnableSyntheticVOC strong-pixel-mask supervision "
+                "(semi_supervised path, 25 images)",
+        "steps": steps,
+        "seed": seed,
+        "init_miou": round(float(miou0), 4),
+        "final_miou": round(float(final), 4),
+        "per_class_iou": [round(float(v), 4) for v in iou],
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    result["pass"] = bool(result["final_miou"] >= 0.5)
+    log(f"supervised arm: mIoU {miou0:.3f} -> {final:.3f}")
+    return result
+
+
 def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                   log=print) -> dict:
     import jax
@@ -122,15 +193,22 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--mode", choices=("weak", "strong"), default="weak")
+    ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default="CONVERGENCE.json")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/em_adapt_jax_cache")
-    result = run_rehearsal(steps=args.steps, seed=args.seed)
-    with open(args.out, "w") as f:
+    if args.mode == "weak":
+        result = run_rehearsal(steps=args.steps or 2500, seed=args.seed)
+        out = args.out or "CONVERGENCE.json"
+    else:
+        result = run_supervised_rehearsal(steps=args.steps or 800,
+                                          seed=args.seed)
+        out = args.out or "SUPERVISED.json"
+    with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     return 0 if result["pass"] else 1
