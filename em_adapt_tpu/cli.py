@@ -40,6 +40,15 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-jsonl", default=None, help="also write metrics JSONL here")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first steps")
+    t.add_argument("--preset", choices=("reference", "tpu-perf"),
+                   default="reference",
+                   help="config preset applied BEFORE overrides: "
+                        "'reference' = the reference's exact recipe "
+                        "(f32, single-step dispatch); 'tpu-perf' = the "
+                        "measured-fastest production setup (bf16 MXU "
+                        "compute, 10-step fused dispatch, TPU hardware "
+                        "RNG, compact uint8 wire + score-map labels — "
+                        "101.8 img/s/chip vs 43.5, PROFILE.md)")
     t.add_argument("--device-data", type=int, default=None, metavar="N",
                    help="smoke/bench mode: pre-upload N batches and cycle "
                         "them on device, isolating step throughput from "
@@ -148,7 +157,17 @@ def cmd_train(args) -> int:
 
     is_main = jax.process_index() == 0
     process_shard = (jax.process_index(), jax.process_count())
-    cfg = _load_cfg(args.overrides)
+    preset = {
+        "reference": [],
+        "tpu-perf": [
+            "model.compute_dtype=bfloat16",
+            "train.macro_steps=10",
+            "train.rng_impl=rbg",
+            "data.wire_dtype=uint8",
+            "data.train_label_size=(41,41)",
+        ],
+    }[getattr(args, "preset", "reference")]
+    cfg = _load_cfg(preset + list(args.overrides or []))
     if args.strong_list or args.strong_fraction > 0:
         cfg = cfg.replace(semi_supervised=True)
     if args.synthetic:

@@ -139,6 +139,35 @@ def test_train_cli_production_knobs(voc_tree, tmp_path):
     assert recs[-1]["step"] == 4
 
 
+def test_train_cli_periodic_voc_eval_saves_best(voc_tree, tmp_path):
+    """Periodic eval with the exact-VOC protocol (train.eval_protocol=voc)
+    runs during training and tracks a 'best' checkpoint."""
+    from em_adapt_tpu import cli
+
+    root, main = voc_tree
+    log = tmp_path / "ev.jsonl"
+    rc = cli.main([
+        "train", "--steps", "4", "--log-jsonl", str(log),
+        "model.num_classes=21", "model.input_size=(33,33)",
+        "model.fc6_channels=8",
+        f"data.main_path={main}", f"data.list_dir={root / 'txt'}",
+        "data.input_size=(33,33)", "data.num_workers=2",
+        "estep.num_iter=2", "optim.accum_steps=2",
+        "train.batch_size=8", "train.log_every_steps=10",
+        "train.eval_every_steps=2", "train.eval_protocol=voc",
+        "eval.batch_size=2",
+        f"checkpoint.save_dir={tmp_path / 'saver'}",
+        "checkpoint.save_every_steps=1000000", "checkpoint.async_save=False",
+    ])
+    assert rc == 0
+    import json
+
+    recs = [json.loads(line) for line in log.read_text().splitlines()]
+    vals = [r for r in recs if "val_metric" in r]
+    assert vals and all(0.0 <= r["val_metric"] <= 1.0 for r in vals)
+    assert os.path.isdir(tmp_path / "saver" / "best")
+
+
 def test_train_cli_resume(voc_tree, tmp_path):
     """`em-adapt train --resume` continues from the latest checkpoint
     (reference 'resume' was warm-start-only; here the full state —
