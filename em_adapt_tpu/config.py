@@ -66,6 +66,16 @@ class ModelConfig:
     #: trades ~1 extra forward of FLOPs for dropping all intra-block
     #: activations from HBM — enables much larger per-chip batches.
     remat: bool = False
+    #: block1 (conv1_1+relu+conv1_2+relu+pool1) implementation:
+    #: "xla" (plain convs — the parity reference), "pallas" (fused
+    #: VMEM-resident kernel, ops/block1_pallas.py — block1 is the one
+    #: conv XLA lowers badly at 321^2, see PROFILE.md), or "auto"
+    #: (pallas on TPU when the shape is supported, xla elsewhere).
+    #: Numeric deltas vs xla: bias adds in f32 before the bf16 rounding,
+    #: and pool-gradient ties route to every tied position instead of
+    #: SelectAndScatter's first match. Spatial partitioning (mesh
+    #: space>1) forces "xla" under "auto".
+    block1_impl: str = "auto"
     #: Path to the Caffe-converted ``init.npy`` (reference deeplab.py:293).
     #: ``None`` -> random init per ``init_scheme``.
     init_model_path: str | None = None

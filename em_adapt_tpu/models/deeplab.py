@@ -177,6 +177,32 @@ class DeepLabLargeFOV:
 
     cfg: ModelConfig = ModelConfig()
 
+    def _use_fused_block1(self, h: int, w: int) -> bool:
+        """Resolve ModelConfig.block1_impl for this input size.
+
+        "auto" uses the fused kernel only on a real TPU backend (the
+        kernel interprets elsewhere, which is correct but slow) and only
+        for supported shapes (square, odd, strip-divisible pooled rows).
+        """
+        impl = self.cfg.block1_impl
+        if impl == "xla":
+            return False
+        from em_adapt_tpu.ops.block1_pallas import block1_supported
+
+        if impl == "pallas":
+            if not block1_supported(h, w):
+                raise ValueError(
+                    f"model.block1_impl='pallas' does not support input "
+                    f"{h}x{w} (needs square odd sizes); use 'xla'"
+                )
+            return True
+        if impl != "auto":
+            raise ValueError(
+                f"model.block1_impl={impl!r}: expected 'auto', 'xla' or "
+                "'pallas'"
+            )
+        return jax.default_backend() == "tpu" and block1_supported(h, w)
+
     def init(self, key: jax.Array) -> dict:
         init_model = (
             load_caffe_init(self.cfg.init_model_path)
@@ -226,9 +252,21 @@ class DeepLabLargeFOV:
         # f32 logits at the exit. Per-layer f32<->bf16 round trips would
         # double the activation HBM traffic (measured ~11% slower backward).
         h = x if compute_dtype is None else x.astype(compute_dtype)
+        specs = vgg_conv_specs(cfg)
+        if self._use_fused_block1(h.shape[1], h.shape[2]):
+            # Fused Pallas block1: the XLA lowering runs this block at
+            # 8.6 TFLOP/s (13.5 of the 59 ms step at batch 6) — see
+            # ops/block1_pallas.py and PROFILE.md. Numerically equal to
+            # the conv path at f32; bf16-ulp deltas in bf16 (bias adds
+            # before the rounding) and tie-split pool gradients.
+            from em_adapt_tpu.ops.block1_pallas import block1_fused
+
+            p1, p2 = params["conv1_1"], params["conv1_2"]
+            h = block1_fused(h, p1["w"], p1["b"], p2["w"], p2["b"])
+            specs = specs[2:]
         cur_specs: list[tuple[str, int]] = []
         cur_params: list[dict] = []
-        for name, _, _, _, _, rate in vgg_conv_specs(cfg):
+        for name, _, _, _, _, rate in specs:
             cur_specs.append((name, rate))
             cur_params.append(params[name])
             if name in POOLS:

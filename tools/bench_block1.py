@@ -196,10 +196,18 @@ def main() -> None:
                 out = t if out is None else jnp.maximum(out, t)
         return out
 
+    from em_adapt_tpu.ops.block1_pallas import block1_fused
+
+    def block1_pallas_fused(p, x):
+        return block1_fused(
+            x.astype(bf16), p["conv1_1"]["w"], p["conv1_1"]["b"],
+            p["conv1_2"]["w"], p["conv1_2"]["b"])
+
     candidates = {
         "baseline": block1_baseline,
         "im2col_gw": block1_im2col,
         "s2d": block1_s2d,
+        "pallas_fused": block1_pallas_fused,
     }
 
     def timed(fn):
