@@ -70,7 +70,8 @@ class ModelConfig:
     #: "xla" (plain convs — the parity reference), "pallas" (fused
     #: VMEM-resident kernel, ops/block1_pallas.py — block1 is the one
     #: conv XLA lowers badly at 321^2, see PROFILE.md), or "auto"
-    #: (pallas on TPU when the shape is supported, xla elsewhere).
+    #: (pallas on TPU for TRAINING when the shape is supported — the
+    #: kernel's win is its fused backward; inference keeps xla).
     #: Numeric deltas vs xla: bias adds in f32 before the bf16 rounding,
     #: and pool-gradient ties route to every tied position instead of
     #: SelectAndScatter's first match. Spatial partitioning (mesh

@@ -177,12 +177,22 @@ class DeepLabLargeFOV:
 
     cfg: ModelConfig = ModelConfig()
 
-    def _use_fused_block1(self, h: int, w: int) -> bool:
-        """Resolve ModelConfig.block1_impl for this input size.
+    #: "auto" uses the fused block1 kernel only up to this traced batch:
+    #: the kernel's per-image cost is flat (~1.45 ms) while XLA's conv
+    #: lowering improves ~3x per image by batch 24 (measured crossover
+    #: sits between 8 and 12; the reference production config is 6).
+    FUSED_BLOCK1_MAX_BATCH = 8
+
+    def _use_fused_block1(self, b: int, h: int, w: int, train: bool) -> bool:
+        """Resolve ModelConfig.block1_impl for this input shape.
 
         "auto" uses the fused kernel only on a real TPU backend (the
-        kernel interprets elsewhere, which is correct but slow) and only
-        for supported shapes (square, odd, strip-divisible pooled rows).
+        kernel interprets elsewhere, which is correct but slow), only
+        for supported shapes (square, odd), only when TRAINING (the
+        kernel's win is its fused custom backward, 13.5 -> 8.7 ms; its
+        forward alone is slightly slower than XLA's conv lowering, 3.6
+        vs 2.8 ms, so inference keeps the conv path), and only at small
+        batch (see FUSED_BLOCK1_MAX_BATCH).
         """
         impl = self.cfg.block1_impl
         if impl == "xla":
@@ -201,7 +211,12 @@ class DeepLabLargeFOV:
                 f"model.block1_impl={impl!r}: expected 'auto', 'xla' or "
                 "'pallas'"
             )
-        return jax.default_backend() == "tpu" and block1_supported(h, w)
+        return (
+            train
+            and b <= self.FUSED_BLOCK1_MAX_BATCH
+            and jax.default_backend() == "tpu"
+            and block1_supported(h, w)
+        )
 
     def init(self, key: jax.Array) -> dict:
         init_model = (
@@ -253,7 +268,7 @@ class DeepLabLargeFOV:
         # double the activation HBM traffic (measured ~11% slower backward).
         h = x if compute_dtype is None else x.astype(compute_dtype)
         specs = vgg_conv_specs(cfg)
-        if self._use_fused_block1(h.shape[1], h.shape[2]):
+        if self._use_fused_block1(h.shape[0], h.shape[1], h.shape[2], train):
             # Fused Pallas block1: the XLA lowering runs this block at
             # 8.6 TFLOP/s (13.5 of the 59 ms step at batch 6) — see
             # ops/block1_pallas.py and PROFILE.md. Numerically equal to
