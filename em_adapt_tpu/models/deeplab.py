@@ -211,10 +211,15 @@ class DeepLabLargeFOV:
                 f"model.block1_impl={impl!r}: expected 'auto', 'xla' or "
                 "'pallas'"
             )
+        # single-device contexts only: GSPMD has no partitioning rule for
+        # a pallas custom-call, so on a multi-chip mesh it would gather
+        # the sharded batch and run it redundantly on every chip (the
+        # XLA conv path partitions cleanly).
         return (
             train
             and b <= self.FUSED_BLOCK1_MAX_BATCH
             and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
             and block1_supported(h, w)
         )
 

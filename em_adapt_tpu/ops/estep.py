@@ -188,9 +188,15 @@ def estep_labels(
     # only a single image too large for VMEM forces the XLA path.
     from em_adapt_tpu.ops.estep_pallas import batch_tile
 
+    # "auto" engages the kernel only in single-device contexts: GSPMD has
+    # no partitioning rule for a pallas custom-call, so on a multi-chip
+    # mesh it would all-gather the (sharded) score map and run the WHOLE
+    # batch redundantly on every chip. Multi-chip meshes get the XLA sort
+    # path (fully partitionable); forcing impl="pallas" overrides.
     use_pallas = cfg.impl == "pallas" or (
         cfg.impl == "auto"
         and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
         and batch_tile(b, h * w, c) >= 1
     )
     if use_pallas:
