@@ -76,17 +76,15 @@ def _wpad(w: int) -> int:
     return (w + 2 + 15) // 16 * 16
 
 
-def pick_pt(oh: int) -> int | None:
-    """Strip size in pooled rows: a divisor of OH small enough for VMEM.
-
-    Returns None when no usable divisor exists (callers fall back to the
-    XLA path). OH=161 (production 321^2) -> 7; OH=21 (the 41^2 test
-    shape) -> 7.
-    """
+def pick_pt(oh: int) -> int:
+    """Strip size in pooled rows: the LARGEST divisor of OH <= 24 (fewer,
+    bigger programs amortize per-strip overhead; VMEM at PT=23 fits under
+    the raised scoped limit). OH=161 (production 321^2) -> 23; OH=21
+    (the 41^2 test shape) -> 21; worst case PT=1 (always divides)."""
     for pt in range(min(oh, 24), 0, -1):
         if oh % pt == 0:
             return pt
-    return None
+    raise AssertionError("unreachable: 1 divides everything")
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +97,13 @@ def pick_pt(oh: int) -> int | None:
 #   y1 rows              : g1   = 2*PT*s - 4 + t1,  t1 in [0, R1=2PT+5)
 #   y2-row ownership     : t2 in [2, 2PT+2)  (partitions rows exactly)
 # ---------------------------------------------------------------------------
+
+
+def _dot_precision(dtype):
+    """f32 compute must force HIGHEST like ops/conv.py does (TPU f32
+    matmuls default to bf16 multi-pass); bf16 keeps the fast default."""
+    return (jax.lax.Precision.HIGHEST
+            if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
 def _acc_dtype(dtype):
@@ -134,6 +139,7 @@ def _conv1(patches_ref, w1_ref, b1_ref, *, s, PT, H, W, WPAD, dtype):
     y1 = jax.lax.dot_general(
         patches_ref[0, 0], w1_ref[:],
         (((1,), (0,)), ((), ())),
+        precision=_dot_precision(dtype),
         preferred_element_type=jnp.float32,
     )
     y1 = jnp.maximum(y1 + b1_ref[0, :], 0)
@@ -161,6 +167,7 @@ def _conv2(y1p, w2_ref, b2_ref, p2_ref, *, s, PT, H, W, WPAD, dtype):
             p2_ref[0:M2, t_:t_ + f] = jax.lax.slice_in_dim(
                 y1p, off, off + M2, axis=0)
     acc = jnp.dot(p2_ref[0:M2, :], w2_ref[:],
+                  precision=_dot_precision(dtype),
                   preferred_element_type=jnp.float32)
     y2 = jnp.maximum(acc + b2_ref[0, :], 0)
     y2 = _mask_rows_cols(y2, base=2 * PT * s - 3, rows=R2,
@@ -301,6 +308,7 @@ def _bwd_kernel(patches_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # p2 still holds the tap-major im2col of y1p from the recompute
     dw2_ref[:] += jax.lax.dot_general(
         p2_ref[0:M2, :], dz2f, (((0,), (0,)), ((), ())),
+        precision=_dot_precision(dtype),
         preferred_element_type=jnp.float32)
     # dy1 = conv_transpose(dz2, w2) as ONE K=9F dot on an im2col of dz2
     # with mirrored tap offsets (dy1p[k] = sum_uv dz2[k - off_uv] @ W2uv^T)
@@ -317,6 +325,7 @@ def _bwd_kernel(patches_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             pz_ref[:, t_:t_ + f] = jax.lax.slice_in_dim(
                 dz2pad, st, st + nz, axis=0)
     dy1p = jnp.dot(pz_ref[:], w2t_ref[:],
+                   precision=_dot_precision(dtype),
                    preferred_element_type=jnp.float32)
 
     # ---- conv1 grads ----------------------------------------------------
@@ -328,6 +337,7 @@ def _bwd_kernel(patches_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dz1c = dz1.astype(dtype)
     dw1_ref[:] += jax.lax.dot_general(
         patches_ref[0, 0], dz1c, (((0,), (0,)), ((), ())),
+        precision=_dot_precision(dtype),
         preferred_element_type=jnp.float32)
 
 
@@ -401,8 +411,6 @@ def _fwd(x, w1, b1, w2, b2, interpret):
         raise ValueError(f"block1_fused needs square odd inputs, got {h}x{w}")
     oh = (h + 1) // 2
     pt = pick_pt(oh)
-    if pt is None:
-        raise ValueError(f"block1_fused: no strip size divides OH={oh}")
     ns = oh // pt
     wpad = _wpad(w)
     m1 = (2 * pt + 5) * wpad
@@ -462,8 +470,6 @@ def _bwd_rule(interpret, res, dy):
     kernel = functools.partial(
         _bwd_kernel, PT=pt, H=h, W=w, WPAD=wpad, OW=oh, dtype=xdtype)
     zeros2 = lambda r, c: jax.ShapeDtypeStruct((r, c), jnp.float32)
-    acc_spec = pl.BlockSpec(None, lambda bi, s: (0, 0),
-                            memory_space=pltpu.VMEM)
     dw1, db1, dw2, db2 = pl.pallas_call(
         kernel,
         grid=(b, ns),
@@ -504,4 +510,4 @@ block1_fused.defvjp(_fwd_rule, _bwd_rule)
 
 def block1_supported(h: int, w: int) -> bool:
     """Whether the fused kernel handles this input size."""
-    return h == w and h % 2 == 1 and pick_pt((h + 1) // 2) is not None
+    return h == w and h % 2 == 1

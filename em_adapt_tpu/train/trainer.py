@@ -16,7 +16,6 @@ flow only through the logits.
 from __future__ import annotations
 
 import contextlib
-import dataclasses
 import time
 from typing import Callable, Iterable
 
@@ -195,18 +194,6 @@ class Trainer:
 
         self.cfg = cfg
         self.plan = make_mesh(cfg.mesh, devices=devices)
-        if (
-            model is None
-            and cfg.model.block1_impl == "auto"
-            and self.plan.num_space_shards > 1
-        ):
-            # Spatial partitioning shards H across chips; the fused
-            # block1 Pallas kernel is a whole-array op (XLA would have
-            # to gather the sharded activation around it), so "auto"
-            # resolves to the plain conv path here.
-            cfg = cfg.replace(model=dataclasses.replace(cfg.model,
-                                                        block1_impl="xla"))
-            self.cfg = cfg
         self.model = model or get_model(cfg.model.name)(cfg.model)
         # steps_per_epoch: data_len // batch_size (reference deeplab.py:241);
         # callers with a real dataset pass it in, tests may use a constant.

@@ -3,8 +3,8 @@
 bench_block1.py showed the im2col conv1_1 grad-weight buys nothing —
 the ~11 ms block1 backward lives elsewhere. Prefix-difference over the
 exact op chain (conv1_1, relu, conv1_2, relu, pool1) isolates it, plus
-candidate fixes for the pool (equality-routed custom-vjp max-pool grad
-instead of XLA's SelectAndScatter lowering).
+a maximum-chain pool candidate (measured 4x WORSE than SelectAndScatter
+on TPU — kept as the recorded negative result).
 
 Usage: python tools/bench_block1_parts.py [--batch 6] [--iters 30]
 """
@@ -48,50 +48,6 @@ def main() -> None:
         },
     }
     bf16 = jnp.bfloat16
-
-    # ---- equality-routed max-pool grad (candidate) -----------------------
-    @jax.custom_vjp
-    def max_pool_eq(x, window, stride):
-        return max_pool_same(x, window, stride)
-
-    def _mp_fwd(x, window, stride):
-        y = max_pool_same(x, window, stride)
-        return y, (x, y, window, stride)
-
-    def _mp_bwd(res, dy):
-        x, y, window, stride = res
-        # dx[p] = sum over windows w containing p of dy[w] * [x[p] == y[w]],
-        # computed as a dilated "transposed pool": upsample dy/y back to
-        # input positions per window offset via conv-style gather.
-        # Implementation: pad + dynamic slicing over the k*k offsets of a
-        # stride-s window, accumulating where the input equals the window max.
-        k, s = window, stride
-        hh, ww_ = x.shape[1], x.shape[2]
-        oh, ow = y.shape[1], y.shape[2]
-        # SAME padding (TF rule) for this window/stride:
-        pad_h = max((oh - 1) * s + k - hh, 0)
-        pad_w = max((ow - 1) * s + k - ww_, 0)
-        plo_h, phi_h = pad_h // 2, pad_h - pad_h // 2
-        plo_w, phi_w = pad_w // 2, pad_w - pad_w // 2
-        neg = jnp.asarray(-jnp.inf, x.dtype)
-        xp = jnp.pad(x, ((0, 0), (plo_h, phi_h), (plo_w, phi_w), (0, 0)),
-                     constant_values=neg)
-        dxp = jnp.zeros(xp.shape, dy.dtype)
-        for u in range(k):
-            for v in range(k):
-                # window (i,j) covers xp[i*s+u, j*s+v]
-                xs = lax.slice(
-                    xp, (0, u, v, 0),
-                    (xp.shape[0], u + (oh - 1) * s + 1, v + (ow - 1) * s + 1,
-                     xp.shape[3]),
-                    (1, s, s, 1))
-                hit = (xs == y).astype(dy.dtype) * dy
-                dxp = dxp.at[:, u:u + (oh - 1) * s + 1:s,
-                             v:v + (ow - 1) * s + 1:s, :].add(hit)
-        dx = dxp[:, plo_h:plo_h + hh, plo_w:plo_w + ww_, :]
-        return (dx, None, None)
-
-    max_pool_eq.defvjp(_mp_fwd, _mp_bwd)
 
     def conv1(p, h):
         return jax.nn.relu(
@@ -163,7 +119,7 @@ def main() -> None:
         print(json.dumps({"chain": name, "fwdbwd_ms": round(tb * 1e3, 3)}),
               flush=True)
 
-    # parity of the equality-routed pool grad vs XLA on untied data
+    # parity of the maximum-chain pool (values + grads, untied data)
     xr = jnp.asarray(g.normal(size=(2, 41, 41, 8)), jnp.float32)
 
     def gx(poolfn):
