@@ -179,3 +179,30 @@ def test_model_train_grads_match_xla_impl():
             rtol=2e-4, atol=2e-4)
 
     jax.tree.map(check, g_x, g_p)
+
+
+def test_auto_gating_resolution(monkeypatch):
+    """'auto' engages the fused kernel only for: training, small batch,
+    TPU backend, single device, supported shape. Each condition flips
+    the decision independently (the TPU/backend conditions are
+    monkeypatched — tests run on CPU)."""
+    model = DeepLabLargeFOV(ModelConfig(block1_impl="auto"))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
+    assert model._use_fused_block1(6, 321, 321, True)
+    assert not model._use_fused_block1(6, 321, 321, False)   # inference
+    assert not model._use_fused_block1(24, 321, 321, True)   # big batch
+    assert not model._use_fused_block1(6, 320, 320, True)    # even size
+    monkeypatch.setattr(jax, "device_count", lambda: 8)
+    assert not model._use_fused_block1(6, 321, 321, True)    # multi-chip
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not model._use_fused_block1(6, 321, 321, True)    # off-TPU
+    # explicit choices ignore the auto conditions
+    forced = DeepLabLargeFOV(ModelConfig(block1_impl="pallas"))
+    assert forced._use_fused_block1(24, 321, 321, False)
+    plain = DeepLabLargeFOV(ModelConfig(block1_impl="xla"))
+    assert not plain._use_fused_block1(6, 321, 321, True)
+    with pytest.raises(ValueError, match="expected 'auto'"):
+        DeepLabLargeFOV(ModelConfig(block1_impl="bogus"))._use_fused_block1(
+            6, 321, 321, True)
