@@ -183,45 +183,77 @@ class DeepLabLargeFOV:
     #: sits between 8 and 12; the reference production config is 6).
     FUSED_BLOCK1_MAX_BATCH = 8
 
-    def _use_fused_block1(self, b: int, h: int, w: int, train: bool) -> bool:
-        """Resolve ModelConfig.block1_impl for this input shape.
+    def _block1_mode(
+        self, b: int, h: int, w: int, train: bool,
+        mesh=None, data_axis: str = "data",
+    ) -> str:
+        """Resolve ModelConfig.block1_impl -> "xla" | "pallas" | "pallas_dp".
 
         "auto" uses the fused kernel only on a real TPU backend (the
-        kernel interprets elsewhere, which is correct but slow), only
-        for supported shapes (square, odd), only when TRAINING (the
-        kernel's win is its fused custom backward, 13.5 -> 8.7 ms; its
-        forward alone is slightly slower than XLA's conv lowering, 3.6
-        vs 2.8 ms, so inference keeps the conv path), and only at small
-        batch (see FUSED_BLOCK1_MAX_BATCH).
+        kernel interprets elsewhere, which is correct but slow), only on
+        TPU generations whose VMEM fits the kernel (v4+; see
+        block1_vmem_ok), only for supported shapes (square, odd), only
+        when TRAINING (the kernel's win is its fused custom backward,
+        13.5 -> 8.7 ms; its forward alone is slightly slower than XLA's
+        conv lowering, 3.6 vs 2.8 ms, so inference keeps the conv path),
+        and only at small PER-CHIP batch (see FUSED_BLOCK1_MAX_BATCH —
+        the measured crossover is per-chip work, so a dp mesh divides
+        the global batch first).
+
+        Multi-device composition: with a mesh whose ``data_axis`` divides
+        the batch, the kernel runs under shard_map ("pallas_dp",
+        ops/block1_pallas.py::block1_fused_dp). Multi-device WITHOUT a
+        mesh keeps "xla" under auto (GSPMD would gather the batch and run
+        the kernel redundantly on every chip); forcing impl="pallas"
+        there warns and runs replicated.
         """
         impl = self.cfg.block1_impl
         if impl == "xla":
-            return False
-        from em_adapt_tpu.ops.block1_pallas import block1_supported
+            return "xla"
+        from em_adapt_tpu.ops.block1_pallas import (
+            block1_supported,
+            block1_vmem_ok,
+        )
 
+        n_dev = jax.device_count()
+        n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
+        can_shard = mesh is not None and mesh.size > 1 and b % n_data == 0
+        b_local = b // n_data if can_shard else b
         if impl == "pallas":
             if not block1_supported(h, w):
                 raise ValueError(
                     f"model.block1_impl='pallas' does not support input "
                     f"{h}x{w} (needs square odd sizes); use 'xla'"
                 )
-            return True
+            if n_dev > 1 and not can_shard:
+                import warnings
+
+                warnings.warn(
+                    "model.block1_impl='pallas' on >1 device without a "
+                    "mesh to shard_map over: GSPMD has no partitioning "
+                    "rule for a pallas call, so XLA will all-gather the "
+                    "sharded batch and run the whole kernel redundantly "
+                    "on every chip. Pass mesh=/data_axis= to apply() "
+                    "(the trainer does) or use block1_impl='auto'.",
+                    stacklevel=2,
+                )
+            return "pallas_dp" if can_shard else "pallas"
         if impl != "auto":
             raise ValueError(
                 f"model.block1_impl={impl!r}: expected 'auto', 'xla' or "
                 "'pallas'"
             )
-        # single-device contexts only: GSPMD has no partitioning rule for
-        # a pallas custom-call, so on a multi-chip mesh it would gather
-        # the sharded batch and run it redundantly on every chip (the
-        # XLA conv path partitions cleanly).
-        return (
+        ok = (
             train
-            and b <= self.FUSED_BLOCK1_MAX_BATCH
+            and b_local <= self.FUSED_BLOCK1_MAX_BATCH
             and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
+            and block1_vmem_ok()
+            and (n_dev == 1 or can_shard)
             and block1_supported(h, w)
         )
+        if not ok:
+            return "xla"
+        return "pallas_dp" if can_shard else "pallas"
 
     def init(self, key: jax.Array) -> dict:
         init_model = (
@@ -238,13 +270,23 @@ class DeepLabLargeFOV:
         *,
         train: bool = False,
         rng: jax.Array | None = None,
+        mesh=None,
+        data_axis: str = "data",
     ) -> jax.Array:
         """Forward pass. x: [B,H,W,3] — float inputs are assumed
         preprocessed (BGR, mean-subtracted); uint8 inputs are raw RGB and
         get the BGR+Caffe-mean normalization ON DEVICE (the compact wire
         format, DataConfig.wire_dtype="uint8": 4x less H2D traffic, and
         XLA fuses the cast/swap/subtract into the first conv's input).
-        Returns fc8 logits [B, H/8(ceil), W/8(ceil), C]."""
+        Returns fc8 logits [B, H/8(ceil), W/8(ceil), C].
+
+        ``mesh``/``data_axis``: the device mesh the surrounding step is
+        sharded over — lets the fused block1 kernel compose with data
+        parallelism via shard_map (see :meth:`_block1_mode`). Callers
+        must NOT pass a mesh when the input is spatially sharded (a
+        nontrivial ``space`` axis): the kernel has no halo exchange, so
+        spatial partitioning keeps the XLA conv path (the trainer gates
+        on ``plan.num_space_shards == 1``)."""
         cfg = self.cfg
         if x.dtype == jnp.uint8:
             from em_adapt_tpu.data.augment import BGR_MEAN
@@ -273,16 +315,33 @@ class DeepLabLargeFOV:
         # double the activation HBM traffic (measured ~11% slower backward).
         h = x if compute_dtype is None else x.astype(compute_dtype)
         specs = vgg_conv_specs(cfg)
-        if self._use_fused_block1(h.shape[0], h.shape[1], h.shape[2], train):
+        mode = self._block1_mode(
+            h.shape[0], h.shape[1], h.shape[2], train, mesh, data_axis
+        )
+        if mode != "xla":
             # Fused Pallas block1: the XLA lowering runs this block at
             # 8.6 TFLOP/s (13.5 of the 59 ms step at batch 6) — see
             # ops/block1_pallas.py and PROFILE.md. Numerically equal to
             # the conv path at f32; bf16-ulp deltas in bf16 (bias adds
-            # before the rounding) and tie-split pool gradients.
-            from em_adapt_tpu.ops.block1_pallas import block1_fused
+            # before the rounding) and evenly-split pool-tie gradients
+            # (mass-conserving; SelectAndScatter picks the first match).
+            from em_adapt_tpu.ops.block1_pallas import (
+                block1_fused,
+                block1_fused_dp,
+            )
 
             p1, p2 = params["conv1_1"], params["conv1_2"]
-            h = block1_fused(h, p1["w"], p1["b"], p2["w"], p2["b"])
+            # The kernel returns a ZERO cotangent for its input (block1
+            # is the first layer); make that contract explicit at the
+            # call site so no silent wrong zeros can leak into a future
+            # input-gradient use (saliency, adversarial perturbation).
+            h = jax.lax.stop_gradient(h)
+            if mode == "pallas_dp":
+                h = block1_fused_dp(
+                    h, p1["w"], p1["b"], p2["w"], p2["b"], mesh, data_axis
+                )
+            else:
+                h = block1_fused(h, p1["w"], p1["b"], p2["w"], p2["b"])
             specs = specs[2:]
         cur_specs: list[tuple[str, int]] = []
         cur_params: list[dict] = []

@@ -43,11 +43,13 @@ Design
 Semantics deltas vs the XLA path (both flagged in ModelConfig docs):
 * bias is added in f32 before the bf16 rounding (XLA rounds the conv
   output to bf16, then adds a bf16 bias) — differences are at bf16 ulp.
-* pool-gradient TIES: equality routing sends the gradient to EVERY
-  position equal to the window max; XLA's SelectAndScatter picks the
-  first. Ties between distinct positive activations are measure-zero
-  for continuous inputs; all-zero windows die at the ReLU mask either
-  way.
+* pool-gradient TIES: equality routing splits each window's gradient
+  EVENLY across every position equal to the window max (a valid
+  subgradient — per-window gradient mass conserved, see
+  _pool_tie_inv); XLA's SelectAndScatter gives the full mass to the
+  first match. Both conserve mass, so flat/saturated image regions
+  (where 9-way ties are the norm, not measure-zero) see no gradient
+  inflation; the distribution across tied positions differs.
 
 The kernel auto-interprets off-TPU (same contract as estep_pallas.py),
 so CPU tests exercise the identical program.
@@ -175,6 +177,58 @@ def _conv2(y1p, w2_ref, b2_ref, p2_ref, *, s, PT, H, W, WPAD, dtype):
     return y2.astype(dtype)
 
 
+def _pool_tie_inv(y2r, pooled, *, PT, WPAD, OW):
+    """1/count of window positions equal to the window max, [PT+1, OW, F].
+
+    The pool backward routes the incoming gradient by EQUALITY against
+    the recomputed window max; a window whose max appears at k positions
+    would send the FULL gradient to all k (inflating it up to 9x in flat
+    image regions — common for saturated/uniform uint8 inputs, and more
+    so in bf16). Scaling each routed contribution by 1/k keeps a valid
+    subgradient of the max: per-window gradient mass is conserved, like
+    XLA's SelectAndScatter (which picks the first match instead).
+
+    Geometry mirrors :func:`_pool` exactly (window (Ploc, Q) covers y2
+    local rows 2Ploc..2Ploc+2 and cols 2Q-1..2Q+1): per (row-term,
+    col-shift) pair the shifted slab is column-subsampled with the same
+    exact selection matmul and compared to the pooled max in f32 (no
+    bf16 cmpf on TPU; the selection passes bf16 values through exactly).
+    All-zero windows count their padding zeros, but those positions die
+    at the ReLU mask, so only max>0 windows matter — where padding never
+    equals the max. Division-free in the hot loop: returns 1/k.
+    """
+    R2 = 2 * PT + 3
+    f = y2r.shape[1]
+    n = R2 * WPAD
+    z1 = jnp.zeros((1, f), y2r.dtype)
+    y2p = jnp.concatenate([z1, y2r, z1], axis=0)
+    col_shifts = (
+        jax.lax.slice_in_dim(y2p, 0, n, axis=0),   # col -1
+        y2r,                                        # col  0
+        jax.lax.slice_in_dim(y2p, 2, n + 2, axis=0),  # col +1
+    )
+    qi = jax.lax.broadcasted_iota(jnp.int32, (OW, WPAD), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (OW, WPAD), 1)
+    sel = (ji == 2 * qi).astype(y2r.dtype)
+    pooled32 = pooled.astype(jnp.float32)
+    cnt = jnp.zeros((PT + 1, OW, f), jnp.float32)
+    for slab in col_shifts:
+        m3 = slab.reshape(R2, WPAD, f)
+        m3p = jnp.concatenate([m3, jnp.zeros((1, WPAD, f), m3.dtype)], axis=0)
+        v = m3p.reshape(PT + 2, 2, WPAD, f)
+        ev, od = v[:, 0], v[:, 1]
+        for rows in (ev[:PT + 1], od[:PT + 1], ev[1:PT + 2]):
+            ds = jnp.stack(
+                [
+                    jnp.dot(sel, rows[r], preferred_element_type=jnp.float32)
+                    for r in range(PT + 1)
+                ],
+                axis=0,
+            )  # [PT+1, OW, f] f32, exact selection
+            cnt = cnt + (ds == pooled32).astype(jnp.float32)
+    return 1.0 / jnp.maximum(cnt, 1.0)
+
+
 def _pool(y2r, *, PT, WPAD, OW):
     """[PT+1, OW, F] pooled rows (local Ploc in [0, PT+1))."""
     R2 = 2 * PT + 3
@@ -277,7 +331,13 @@ def _bwd_kernel(patches_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         return jnp.concatenate([zr, t, zr1], axis=0)  # rows: 2 front, 1 back
 
     adt = _acc_dtype(dtype)
-    ry, rdy = rep2(pooled), rep2(dy)
+    # Pre-scale dy by 1/tie-count per window, so the equality routing
+    # below distributes each window's gradient evenly across its tied
+    # maxima (valid subgradient, mass conserved — see _pool_tie_inv).
+    dy_split = (dy.astype(jnp.float32)
+                * _pool_tie_inv(y2r, pooled, PT=PT, WPAD=WPAD, OW=OW)
+                ).astype(dy.dtype)
+    ry, rdy = rep2(pooled), rep2(dy_split)
     y23 = y2r.reshape(R2, WPAD, f)
     t2i = jax.lax.broadcasted_iota(jnp.int32, (R2, 1, 1), 0)
     ji = jax.lax.broadcasted_iota(jnp.int32, (1, WPAD, 1), 1)
@@ -511,3 +571,51 @@ block1_fused.defvjp(_fwd_rule, _bwd_rule)
 def block1_supported(h: int, w: int) -> bool:
     """Whether the fused kernel handles this input size."""
     return h == w and h % 2 == 1
+
+
+def block1_vmem_ok() -> bool:
+    """Whether the local devices' VMEM fits this kernel's working set.
+
+    The kernel requests a 100 MiB scoped-VMEM ceiling (``_VMEM_LIMIT``)
+    and its unrolled backward conservatively stacks ~20 MB of strip
+    intermediates at 321^2 — far over the 16 MiB VMEM of TPU v2/v3
+    cores, where Mosaic compilation would fail outright. v4+ (128 MiB)
+    fits. Non-TPU backends interpret the kernel (no VMEM), so they pass.
+    """
+    if jax.default_backend() != "tpu":
+        return True
+    kind = jax.devices()[0].device_kind.lower()
+    return not ("v2" in kind or "v3" in kind)
+
+
+def block1_fused_dp(x, w1, b1, w2, b2, mesh, data_axis: str = "data",
+                    interpret: bool | None = None):
+    """:func:`block1_fused` under ``shard_map`` over the mesh's data axis.
+
+    GSPMD has no partitioning rule for a pallas custom-call, so on a
+    multi-chip mesh the bare kernel would all-gather the sharded batch
+    and run it redundantly on every chip. This wrapper makes the kernel
+    compose with data parallelism: each instance runs its local batch
+    shard; weights go in replicated (``P()``), and shard_map's transpose
+    rule inserts the psum over ``data_axis`` for their cotangents — the
+    same all-reduce the XLA conv path's gradients get. Verified against
+    the unsharded kernel's gradients to f32 reduction-order tolerance
+    (tests/test_block1_pallas.py).
+
+    Inputs replicate over mesh axes other than ``data_axis``; spatial
+    partitioning (a nontrivial ``space`` axis sharding H) must keep the
+    XLA conv path instead — the kernel has no halo exchange, so callers
+    gate on ``num_space_shards == 1`` (models/deeplab.py).
+    ``check_vma=False`` because pallas_call's out_shape carries no
+    varying-manual-axes annotation.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        lambda x_, w1_, b1_, w2_, b2_: block1_fused(
+            x_, w1_, b1_, w2_, b2_, interpret),
+        mesh=mesh,
+        in_specs=(P(data_axis), P(), P(), P(), P()),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )(x, w1, b1, w2, b2)

@@ -136,17 +136,61 @@ def estep(
     return f + (before - after)[:, None, None, None]
 
 
+def _estep_pallas_dp(scores, label, orders, mesh, data_axis: str, kw: dict):
+    """Run the Pallas E-step kernel under ``shard_map`` over ``data_axis``.
+
+    Images are independent given the global batch max (the only
+    cross-image coupling, reference estep.py:49), so the max is computed
+    over the FULL sharded array outside the manual region (XLA partitions
+    that reduction; on a mesh the partial maxes ride ICI) and passed in
+    replicated. Each kernel instance then processes its local batch
+    shard — this is what lets "auto" keep the fused kernel engaged on
+    multi-chip meshes instead of silently falling back to the XLA sort
+    path (GSPMD itself has no partitioning rule for a pallas call).
+
+    Inputs replicate over any mesh axes other than ``data_axis`` (the
+    score map is tiny at 41x41; the redundant compute is ~µs), so the
+    result is identical on every such replica. ``check_vma=False``
+    because pallas_call's out_shape carries no varying-manual-axes
+    annotation; gradients never flow here (inputs are stop_gradient'd).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from em_adapt_tpu.ops.estep_pallas import estep_pallas
+
+    gmax = jnp.max(scores.astype(jnp.float32))
+
+    def local(s, l, o, g):
+        return estep_pallas(s, l, o, gmax=g, **kw)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P(), P()),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )(scores, label, orders, gmax)
+
+
 def estep_labels(
     scores: jax.Array,
     label: jax.Array,
     orders: jax.Array,
     cfg: EStepConfig,
+    *,
+    mesh=None,
+    data_axis: str = "data",
 ) -> jax.Array:
     """Weak label map [B, H, W] int32 = argmax of the biased score map.
 
     The reference takes the channel argmax of the py_func output
     (reference deeplab.py:122-123); py_func has no gradient, which we make
     explicit with ``stop_gradient``.
+
+    ``mesh``/``data_axis``: the device mesh the surrounding computation is
+    sharded over. On a multi-device mesh the Pallas kernel runs under
+    ``shard_map`` over the data axis (see :func:`_estep_pallas_dp`);
+    without a mesh, multi-device "auto" falls back to the XLA sort path.
     """
     b, h, w, c = scores.shape
     if cfg.impl not in ("auto", "jax", "pallas", "native"):
@@ -188,32 +232,53 @@ def estep_labels(
     # only a single image too large for VMEM forces the XLA path.
     from em_adapt_tpu.ops.estep_pallas import batch_tile
 
-    # "auto" engages the kernel only in single-device contexts: GSPMD has
-    # no partitioning rule for a pallas custom-call, so on a multi-chip
-    # mesh it would all-gather the (sharded) score map and run the WHOLE
-    # batch redundantly on every chip. Multi-chip meshes get the XLA sort
-    # path (fully partitionable); forcing impl="pallas" overrides.
-    use_pallas = cfg.impl == "pallas" or (
-        cfg.impl == "auto"
-        and jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and batch_tile(b, h * w, c) >= 1
-    )
-    if use_pallas:
-        from em_adapt_tpu.ops.estep_pallas import estep_pallas as impl
-    else:
-        impl = estep
-    # Stop gradients BEFORE the E-step: EM treats its output as a fixed
-    # target anyway, and a Pallas call has no JVP rule — with live tangents
-    # on its inputs, linearization under jit(grad(...)) would fail.
-    biased = impl(
-        jax.lax.stop_gradient(scores),
-        label,
-        orders,
+    n_dev = jax.device_count()
+    # shard_map eligibility: a mesh that spans >1 device whose data axis
+    # evenly divides the batch (each kernel instance sees b_local images).
+    n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
+    can_shard = mesh is not None and mesh.size > 1 and b % n_data == 0
+    b_local = b // n_data if can_shard else b
+    kw = dict(
         bg_p=cfg.bg_p,
         fg_p=cfg.fg_p,
         num_iter=cfg.num_iter,
         suppress_others=cfg.suppress_others,
         margin_others=cfg.margin_others,
     )
+    if cfg.impl == "pallas":
+        use_pallas = True
+        if n_dev > 1 and not can_shard:
+            import warnings
+
+            warnings.warn(
+                "estep.impl='pallas' on >1 device without a mesh to "
+                "shard_map over: GSPMD has no partitioning rule for a "
+                "pallas call, so XLA will all-gather the score map and "
+                "run the WHOLE batch redundantly on every chip. Pass "
+                "mesh=/data_axis= (the trainer does) or use impl='auto'.",
+                stacklevel=2,
+            )
+    else:
+        # "auto": the kernel must compose with the device topology —
+        # single device directly, multi-device via shard_map over the
+        # mesh's data axis. No mesh on multi-device -> XLA sort path
+        # (fully partitionable) rather than redundant gathered compute.
+        use_pallas = (
+            cfg.impl == "auto"
+            and jax.default_backend() == "tpu"
+            and (n_dev == 1 or can_shard)
+            and batch_tile(b_local, h * w, c) >= 1
+        )
+    # Stop gradients BEFORE the E-step: EM treats its output as a fixed
+    # target anyway, and a Pallas call has no JVP rule — with live tangents
+    # on its inputs, linearization under jit(grad(...)) would fail.
+    stopped = jax.lax.stop_gradient(scores)
+    if use_pallas and can_shard:
+        biased = _estep_pallas_dp(stopped, label, orders, mesh, data_axis, kw)
+    elif use_pallas:
+        from em_adapt_tpu.ops.estep_pallas import estep_pallas
+
+        biased = estep_pallas(stopped, label, orders, **kw)
+    else:
+        biased = estep(stopped, label, orders, **kw)
     return jnp.argmax(biased, axis=3).astype(jnp.int32)

@@ -168,10 +168,18 @@ def estep_pallas(
     suppress_others: bool = True,
     margin_others: float = 1e-5,
     interpret: bool | None = None,
+    gmax: jax.Array | None = None,
 ) -> jax.Array:
     """Drop-in replacement for :func:`em_adapt_tpu.ops.estep.estep`.
 
     scores [B,H,W,C] f32, label [B,H,W], orders [num_iter, C-1] int32.
+
+    ``gmax`` overrides the global batch max the suppress step lifts
+    absent channels by (oracle semantics, reference estep.py:49). Under
+    ``shard_map`` each kernel instance sees only its local batch shard,
+    so the caller must compute the max over the FULL batch outside the
+    manual region and pass it in (see ops/estep.py::_estep_pallas_dp);
+    None computes it over the scores this call sees.
     """
     b, h, w, c = scores.shape
     if orders.shape != (num_iter, c - 1):
@@ -198,7 +206,9 @@ def estep_pallas(
     lab2 = label.astype(jnp.uint8).astype(jnp.int32).reshape(b, hw)
     # The global batch max (oracle semantics, reference estep.py:49) is
     # computed over the REAL batch before any padding.
-    gmax = jnp.max(f3).reshape(1, 1)
+    if gmax is None:
+        gmax = jnp.max(f3)
+    gmax = gmax.astype(jnp.float32).reshape(1, 1)
     if b_pad != b:
         f3 = jnp.pad(f3, ((0, 0), (0, b_pad - b), (0, 0)))
         lab2 = jnp.pad(lab2, ((0, b_pad - b), (0, 0)), constant_values=255)

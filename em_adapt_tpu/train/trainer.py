@@ -37,17 +37,32 @@ def loss_fn(
     rng: jax.Array,
     model,
     cfg: ExperimentConfig,
+    plan: MeshPlan | None = None,
 ) -> tuple[jax.Array, dict]:
     """Total loss = CE(logits, estep_labels) + wd * L2(weights).
 
     batch: {"image": [B,H,W,3] f32 preprocessed, "label": [B,H,W,1] f32
     mask (255=ignore), optional "is_strong": [B] bool for the
     semi-supervised variant}.
+
+    ``plan``: the trainer's mesh plan — threads the mesh down to the two
+    Pallas kernels so their "auto" modes stay engaged on multi-chip
+    meshes (shard_map over the data axis). block1 only gets the mesh when
+    the input is NOT spatially sharded (the kernel has no halo exchange);
+    the E-step score map is tiny, so it always composes.
     """
     num_classes = cfg.model.num_classes
     drop_rng, order_rng = jax.random.split(rng)
 
-    logits = model.apply(params, batch["image"], train=True, rng=drop_rng)
+    mesh = plan.mesh if plan is not None else None
+    data_axis = plan.data_axis if plan is not None else "data"
+    block1_mesh = (
+        mesh if plan is not None and plan.num_space_shards == 1 else None
+    )
+    logits = model.apply(
+        params, batch["image"], train=True, rng=drop_rng,
+        mesh=block1_mesh, data_axis=data_axis,
+    )
     out_hw = (logits.shape[1], logits.shape[2])
 
     # Label shrink to score-map resolution (reference deeplab.py:110).
@@ -59,7 +74,9 @@ def loss_fn(
         shrunk = resize_nearest_tf(batch["label"], out_hw)[..., 0]  # [B,h,w]
 
     orders = make_class_orders(order_rng, cfg.estep.num_iter, num_classes)
-    weak = estep_labels(logits, shrunk, orders, cfg.estep)  # [B,h,w] int32
+    weak = estep_labels(
+        logits, shrunk, orders, cfg.estep, mesh=mesh, data_axis=data_axis
+    )  # [B,h,w] int32
 
     flat_logits = logits.reshape(-1, num_classes)
 
@@ -90,13 +107,14 @@ def loss_fn(
     return total, {"loss": total, "loss_norm": ce, "loss_l2": l2}
 
 
-def _step_fn(model, cfg: ExperimentConfig, tx: optax.GradientTransformation):
+def _step_fn(model, cfg: ExperimentConfig, tx: optax.GradientTransformation,
+             plan: MeshPlan | None = None):
     """The raw (unjitted) microbatch step."""
 
     def step(state: TrainState, batch: dict):
         rng, new_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg)
+        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg, plan)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -122,7 +140,7 @@ def make_train_step(
     every collective: the gradient psum over data, and the all-gathers /
     reduce-scatters the TP layout implies.
     """
-    step = _step_fn(model, cfg, tx)
+    step = _step_fn(model, cfg, tx, plan)
     repl = plan.replicated()
     state_sh = state_shardings if state_shardings is not None else repl
     # The batch's shardings are inferred from the (already device_put,
@@ -154,7 +172,7 @@ def make_macro_step(
     shardings as the single step); returns the state after K steps and the
     LAST step's metrics.
     """
-    step = _step_fn(model, cfg, tx)
+    step = _step_fn(model, cfg, tx, plan)
 
     def macro(state: TrainState, batches: tuple):
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)

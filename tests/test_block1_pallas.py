@@ -94,9 +94,10 @@ def test_bfloat16_path():
 
 
 def test_pool_tie_gradient_split():
-    """Documented semantic delta: a window whose max appears at two
-    positions routes the incoming gradient to BOTH (XLA's
-    SelectAndScatter picks the first). Pin it so a change is noticed."""
+    """Pool-gradient ties are split EVENLY across tied maxima (a valid
+    subgradient: per-window gradient mass is conserved, like XLA's
+    SelectAndScatter first-match — unlike the round-2 sum-routing that
+    inflated gradients up to 9x in flat image regions)."""
     rng = np.random.default_rng(4)
     f = 8
     # identity-ish setup: w2 = center-tap identity, w1 maps channel 0
@@ -115,11 +116,32 @@ def test_pool_tie_gradient_split():
         return jnp.sum(block1_fused(x, *p, True))
 
     dw1 = jax.grad(loss)((w1, b1, w2, b2))[0]
-    # (4,4) sits in 1 pooled window (tied with (5,5)), (5,5) in 4.
-    # Equality routing: dz1[(4,4)]=1, dz1[(5,5)]=4 -> dw1 center tap =
-    # 2*1 + 2*4 = 10. XLA's first-match would route the tied window to
-    # (4,4) only, giving 8. Pin the documented tie-split semantic.
-    assert float(dw1[1, 1, 0, 0]) == pytest.approx(10.0)
+    # (4,4) sits in 1 pooled window (tied with (5,5)), (5,5) in 4 (the
+    # tied one + 3 where it is the sole max). Tie-split routing:
+    # dz1[(4,4)]=0.5, dz1[(5,5)]=0.5+3 -> dw1 center tap =
+    # 2*0.5 + 2*3.5 = 8.0 == total gradient mass of the 4 windows times
+    # the activation (what SelectAndScatter also yields here).
+    assert float(dw1[1, 1, 0, 0]) == pytest.approx(8.0)
+    # and a fully FLAT region (9-way ties everywhere) must not inflate
+    # the gradient vs the XLA path: compare total dw1 mass directly.
+    flat = jnp.full((1, 13, 13, 3), 1.0, jnp.float32)
+
+    def loss_x(p):
+        return jnp.sum(_xla_block1(flat, *p))
+
+    def loss_f(p):
+        return jnp.sum(block1_fused(flat, *p, True))
+
+    g_x = jax.grad(loss_x)((w1, b1, w2, b2))
+    g_f = jax.grad(loss_f)((w1, b1, w2, b2))
+    # mass-conservation invariants that are routing-independent: the
+    # center-tap weight gradient (every center x is 1) and the bias
+    # gradient both equal the total routed mass. The round-2 sum-routing
+    # inflated these ~9x here.
+    np.testing.assert_allclose(
+        np.asarray(g_f[0][1, 1]), np.asarray(g_x[0][1, 1]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_f[1]), np.asarray(g_x[1]), rtol=1e-5)
 
 
 def test_unsupported_shape_raises():
@@ -182,27 +204,92 @@ def test_model_train_grads_match_xla_impl():
 
 
 def test_auto_gating_resolution(monkeypatch):
-    """'auto' engages the fused kernel only for: training, small batch,
-    TPU backend, single device, supported shape. Each condition flips
-    the decision independently (the TPU/backend conditions are
+    """'auto' engages the fused kernel only for: training, small PER-CHIP
+    batch, TPU backend (with enough VMEM), supported shape — and on
+    multiple devices only with a mesh to shard_map over. Each condition
+    flips the decision independently (the TPU/backend conditions are
     monkeypatched — tests run on CPU)."""
+    from jax.sharding import Mesh
+
     model = DeepLabLargeFOV(ModelConfig(block1_impl="auto"))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "device_count", lambda: 1)
-    assert model._use_fused_block1(6, 321, 321, True)
-    assert not model._use_fused_block1(6, 321, 321, False)   # inference
-    assert not model._use_fused_block1(24, 321, 321, True)   # big batch
-    assert not model._use_fused_block1(6, 320, 320, True)    # even size
+    assert model._block1_mode(6, 321, 321, True) == "pallas"
+    assert model._block1_mode(6, 321, 321, False) == "xla"   # inference
+    assert model._block1_mode(24, 321, 321, True) == "xla"   # big batch
+    assert model._block1_mode(6, 320, 320, True) == "xla"    # even size
     monkeypatch.setattr(jax, "device_count", lambda: 8)
-    assert not model._use_fused_block1(6, 321, 321, True)    # multi-chip
+    # multi-chip without a mesh: GSPMD can't partition the kernel
+    assert model._block1_mode(6, 321, 321, True) == "xla"
+    # multi-chip WITH a mesh: shard_map keeps the kernel engaged
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    assert model._block1_mode(8, 321, 321, True, mesh) == "pallas_dp"
+    # per-CHIP batch gates the crossover: global 48 over dp4 = 12 > 8
+    assert model._block1_mode(48, 321, 321, True, mesh) == "xla"
+    # batch must divide the mesh's data axis (6 % 4 != 0)
+    assert model._block1_mode(6, 321, 321, True, mesh) == "xla"
     monkeypatch.setattr(jax, "device_count", lambda: 1)
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
-    assert not model._use_fused_block1(6, 321, 321, True)    # off-TPU
+    assert model._block1_mode(6, 321, 321, True) == "xla"    # off-TPU
+    # v2/v3 VMEM (16 MiB) cannot fit the kernel: auto falls back
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    import em_adapt_tpu.ops.block1_pallas as b1
+
+    monkeypatch.setattr(b1, "block1_vmem_ok", lambda: False)
+    assert model._block1_mode(6, 321, 321, True) == "xla"
+    monkeypatch.undo()
     # explicit choices ignore the auto conditions
     forced = DeepLabLargeFOV(ModelConfig(block1_impl="pallas"))
-    assert forced._use_fused_block1(24, 321, 321, False)
+    assert forced._block1_mode(24, 321, 321, False) == "pallas"
     plain = DeepLabLargeFOV(ModelConfig(block1_impl="xla"))
-    assert not plain._use_fused_block1(6, 321, 321, True)
+    assert plain._block1_mode(6, 321, 321, True) == "xla"
     with pytest.raises(ValueError, match="expected 'auto'"):
-        DeepLabLargeFOV(ModelConfig(block1_impl="bogus"))._use_fused_block1(
+        DeepLabLargeFOV(ModelConfig(block1_impl="bogus"))._block1_mode(
             6, 321, 321, True)
+
+
+def test_forced_pallas_multidevice_without_mesh_warns(monkeypatch):
+    """Advisor finding: forcing 'pallas' on >1 device without a mesh
+    replicates the whole batch on every chip — must warn, not be silent."""
+    forced = DeepLabLargeFOV(ModelConfig(block1_impl="pallas"))
+    monkeypatch.setattr(jax, "device_count", lambda: 8)
+    with pytest.warns(UserWarning, match="redundantly"):
+        assert forced._block1_mode(6, 321, 321, True) == "pallas"
+
+
+def _dp_mesh():
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs >=2 (fake) devices")
+    return Mesh(_np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("data", "model"))
+
+
+def test_block1_fused_dp_matches_direct():
+    """shard_map composition: forward AND all four parameter cotangents
+    of block1_fused_dp (dp2 mesh) match the unsharded kernel to f32
+    reduction-order tolerance — including the psum over the data axis
+    that shard_map's transpose inserts for the replicated weights."""
+    from em_adapt_tpu.ops.block1_pallas import block1_fused_dp
+
+    mesh = _dp_mesh()
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(4, 17, 17, 3)), jnp.float32)
+    p = _params(rng, 3, 8)
+
+    out_d = block1_fused(x, *p)
+    out_s = jax.jit(lambda x, *p: block1_fused_dp(x, *p, mesh))(x, *p)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=1e-6, atol=1e-6)
+
+    g_d = jax.grad(lambda p: jnp.sum(block1_fused(x, *p) ** 2))(p)
+    g_s = jax.jit(
+        jax.grad(lambda p: jnp.sum(block1_fused_dp(x, *p, mesh) ** 2))
+    )(p)
+    for name, a, b in zip(("w1", "b1", "w2", "b2"), g_d, g_s):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5,
+            err_msg=f"d{name} mismatch under shard_map")

@@ -135,3 +135,35 @@ def test_place_state_restores_tp_sharding(rng):
     }
     _, m = trainer.train_step(placed, trainer.plan.shard_batch(batch))
     assert np.isfinite(float(jax.device_get(m["loss"])))
+
+
+def test_pallas_impls_on_mesh_match_xla_impls(rng):
+    """Round-3 headline: the two Pallas kernels stay engaged on a
+    multi-device mesh (shard_map over the data axis, ops/estep.py::
+    _estep_pallas_dp + ops/block1_pallas.py::block1_fused_dp) and the
+    full jitted train step computes the identical loss to the XLA
+    implementations. Odd input size so block1_fused supports it."""
+    from em_adapt_tpu.train import Trainer
+
+    def run(block1_impl, estep_impl):
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_classes=4, input_size=(33, 33),
+                              fc6_channels=16, block1_impl=block1_impl),
+            estep=EStepConfig(num_iter=2, impl=estep_impl),
+            optim=OptimConfig(accum_steps=1),
+            train=TrainConfig(batch_size=4),
+            mesh=MeshConfig(axes=(("data", 4), ("space", 1), ("model", 2))),
+        )
+        trainer = Trainer(cfg, steps_per_epoch=4)
+        state = trainer.init_state()
+        g = np.random.default_rng(7)
+        batch = {
+            "image": g.normal(size=(4, 33, 33, 3)).astype(np.float32),
+            "label": g.integers(0, 4, size=(4, 33, 33, 1)).astype(np.float32),
+        }
+        state, m = trainer.train_step(state, trainer.plan.shard_batch(batch))
+        return float(jax.device_get(m["loss"]))
+
+    loss_pallas = run("pallas", "pallas")
+    loss_xla = run("xla", "jax")
+    assert loss_pallas == pytest.approx(loss_xla, abs=2e-5)
