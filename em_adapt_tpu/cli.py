@@ -35,6 +35,16 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="train on N synthetic images instead of VOC on disk")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest 'norm' checkpoint")
+    t.add_argument("--warm-start", default=None, metavar="DIR[:STEP]",
+                   help="params-only warm start from the checkpoint tree at "
+                        "DIR (optionally a specific :STEP): load weights, "
+                        "keep FRESH optimizer slots / step 0 / LR schedule — "
+                        "the reference's model_path fine-tune semantics "
+                        "(reference deeplab.py:229-234). Mutually exclusive "
+                        "with --resume (which restores the full state).")
+    t.add_argument("--warm-start-tag", default="norm",
+                   choices=("norm", "lr", "best"),
+                   help="with --warm-start: checkpoint tag to load from")
     t.add_argument("--steps", type=int, default=None,
                    help="cap total microbatch steps (smoke runs)")
     t.add_argument("--log-jsonl", default=None, help="also write metrics JSONL here")
@@ -130,6 +140,15 @@ def _setup_jax() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _parse_warm_start(spec: str) -> tuple[str, int | None]:
+    """Split 'DIR[:STEP]' — a trailing ':<int>' is a step, anything else
+    (including drive-letter-free paths containing ':') is the directory."""
+    wdir, sep, suffix = spec.rpartition(":")
+    if sep and wdir and suffix.isdigit():
+        return wdir, int(suffix)
+    return spec, None
+
+
 def cmd_train(args) -> int:
     import jax
 
@@ -183,6 +202,17 @@ def cmd_train(args) -> int:
 
     trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch)
     state = trainer.init_state()
+    if args.warm_start and args.resume:
+        print("error: --warm-start and --resume are mutually exclusive")
+        return 2
+    if args.warm_start:
+        wdir, wstep = _parse_warm_start(args.warm_start)
+        state = trainer.warm_start(
+            state, wdir, tag=args.warm_start_tag, step=wstep
+        )
+        print(f"warm start: params from {wdir} "
+              f"(tag={args.warm_start_tag}, step={wstep if wstep is not None else 'latest'}); "
+              f"optimizer/step/LR fresh")
     if args.resume:
         latest = trainer.checkpointer.latest_step("norm")
         if latest is None:
@@ -195,11 +225,14 @@ def cmd_train(args) -> int:
             print(f"resumed from step {latest}")
 
     eval_fn = None
-    if cfg.train.eval_every_steps and jax.process_count() > 1:
-        if is_main:
-            print("warning: periodic eval is disabled under --multihost "
-                  "(run em-adapt eval separately against the checkpoints)")
-    elif cfg.train.eval_every_steps:
+    if cfg.train.eval_every_steps:
+        # Under --multihost EVERY process evaluates the full (unsharded)
+        # val set: the computation is deterministic and replicated, so
+        # all processes reach identical scores and make identical
+        # best-checkpoint decisions — required because the orbax "best"
+        # save is a collective that every process must enter in lockstep.
+        # The redundancy is per-process host work only; the jitted
+        # forward runs replicated on each process's local devices.
         from em_adapt_tpu.eval.predict import Evaluator
 
         if args.synthetic:
@@ -225,6 +258,24 @@ def cmd_train(args) -> int:
             return miou
 
     logger = MetricLogger(args.log_jsonl) if is_main else None
+    log_fn = logger
+    if cfg.train.calibrate_estep and logger is not None:
+        # One-off measurement of the deployed E-step at this run's
+        # score-map shape (BASELINE.md metric; the reference's host numpy
+        # E-step is 38.7 ms/img). Stamped into every train JSONL record.
+        # One tiny jit, persistently cached across invocations.
+        from em_adapt_tpu.utils.profiling import measure_estep_us_per_image
+
+        estep_us = round(measure_estep_us_per_image(
+            cfg.model, cfg.estep, cfg.train.batch_size), 1)
+        print(f"estep calibration: {estep_us} us/image "
+              f"(impl={cfg.estep.impl}, batch={cfg.train.batch_size})")
+
+        def log_fn(m, _logger=logger, _v=estep_us):
+            if "loss" in m:
+                m = {**m, "estep_us_per_image": _v}
+            _logger(m)
+
     batches = batch_iterator(
         ds, cfg.data, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
         epochs=None, train=True, process_shard=process_shard,
@@ -244,7 +295,7 @@ def cmd_train(args) -> int:
                   f"batches (host pipeline + H2D excluded)")
     with trace_context(args.profile_dir):
         state = trainer.fit(
-            state, batches, num_steps=args.steps, log_fn=logger, eval_fn=eval_fn
+            state, batches, num_steps=args.steps, log_fn=log_fn, eval_fn=eval_fn
         )
     trainer.checkpointer.save(state, tag="norm")
     trainer.checkpointer.close()

@@ -203,6 +203,11 @@ class TrainConfig:
     #: host overhead (vital on dispatch-latency-limited links). Log/eval/
     #: checkpoint cadences quantize to the macro boundary. 1 = off.
     macro_steps: int = 1
+    #: Measure the deployed E-step implementation (µs/image at this run's
+    #: score-map shape) once at train start and stamp it into every train
+    #: JSONL record — the BASELINE.md observability metric. One tiny jit,
+    #: persistently cached; set False to skip.
+    calibrate_estep: bool = True
     #: PRNG implementation for the train-state key (dropout masks, E-step
     #: class orders). "threefry" is JAX's default counter-based generator;
     #: "rbg" uses the TPU's hardware RNG — measured 32 ms/step of threefry

@@ -300,6 +300,36 @@ class Trainer:
         included), without a host round trip."""
         return self.checkpointer.restore(self.abstract_state(), tag=tag, step=step)
 
+    def warm_start(
+        self,
+        state: TrainState,
+        save_dir: str,
+        *,
+        tag: str = "norm",
+        step: int | None = None,
+    ) -> TrainState:
+        """Params-only warm start: reference ``model_path`` semantics.
+
+        The reference's restore loads TRAINABLE VARIABLES into a fresh
+        session — new optimizer slots, LR schedule restarting from the
+        top (reference deeplab.py:229-234, network.py:104-110) — i.e.
+        fine-tuning from a previous run's weights. ``--resume`` is the
+        opposite contract (bit-exact continuation of the full state);
+        this grafts only ``params`` from the checkpoint at ``save_dir``
+        onto the given FRESH state, keeping its zeroed optimizer slots,
+        step 0 and RNG stream.
+        """
+        import dataclasses as _dc
+
+        from em_adapt_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(_dc.replace(self.cfg.checkpoint, save_dir=save_dir))
+        try:
+            restored = mgr.restore(self.abstract_state(), tag=tag, step=step)
+        finally:
+            mgr.close()
+        return state.replace(params=restored.params)
+
     @property
     def checkpointer(self):
         if self._ckpt is None:
@@ -358,6 +388,7 @@ class Trainer:
         watchdog = LossWatchdog()
         macro_k = max(1, cfg.train.macro_steps) if self.macro_step else 1
         buf: list = []
+        prev_metrics = None  # metrics of the PREVIOUS dispatch (see below)
         with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
             if prefetcher is not None:
                 stack.callback(prefetcher.close)
@@ -382,27 +413,50 @@ class Trainer:
                     if len(buf) < macro_k:
                         continue
                 advance = macro_k if use_macro else 1
-                if cfg.checkpoint.snapshot_on_lr_drop and any(
+                window_has_drop = cfg.checkpoint.snapshot_on_lr_drop and any(
                     step_idx <= s < step_idx + advance for s in lr_drop_steps
-                ):
-                    self.checkpointer.save(state, tag="lr")
-                if use_macro:
+                )
+                if use_macro and window_has_drop:
+                    # Exact "lr" snapshots (reference deeplab.py:248): a
+                    # fused window that straddles an LR drop is split into
+                    # single steps so the snapshot is taken at EXACTLY the
+                    # boundary step, not up to K-1 steps early. Costs K
+                    # dispatches for this one window; drops are rare
+                    # (3 per 40-epoch run).
+                    for i, arrays_i in enumerate(buf):
+                        if step_idx + i in lr_drop_steps:
+                            self.checkpointer.save(state, tag="lr")
+                        state, metrics = self.train_step(state, arrays_i)
+                    buf = []
+                elif use_macro:
                     state, metrics = self.macro_step(state, tuple(buf))
                     buf = []
                 else:
+                    if window_has_drop:
+                        self.checkpointer.save(state, tag="lr")
                     state, metrics = self.train_step(state, arrays)
                 prev_idx = step_idx
                 n_done += advance
                 step_idx += advance
+                # Watchdog every dispatch, decoupled from log cadence
+                # (round-2 finding: at log_every=500 a NaN burned up to
+                # 500 steps before detection). Checking the PREVIOUS
+                # dispatch's loss keeps the pipeline full: that result is
+                # already materialized while the new dispatch runs, so
+                # the scalar fetch costs wire latency, not device time.
+                if prev_metrics is not None:
+                    reason = watchdog.check(
+                        float(jax.device_get(prev_metrics["loss"]))
+                    )
+                    if reason is not None:
+                        raise RuntimeError(f"training unhealthy: {reason}")
+                prev_metrics = metrics
                 if prev_idx // cfg.train.log_every_steps < step_idx // cfg.train.log_every_steps:
-                    # The ONLY recurring device sync: fetching the scalar
+                    # The ONLY full device sync: fetching the scalar
                     # metrics here also drains the dispatch queue, so the
                     # window below measures true steady-state throughput
                     # (the first window additionally pays the compile).
                     m = jax.device_get(metrics)
-                    reason = watchdog.check(m["loss"])
-                    if reason is not None:
-                        raise RuntimeError(f"training unhealthy: {reason}")
                     if log_fn is not None:
                         now = time.time()
                         m.update(

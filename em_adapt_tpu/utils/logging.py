@@ -2,9 +2,12 @@
 
 The reference logs with bare prints (loss+lr every 500 iters,
 reference deeplab.py:273-275; dataset sizes, timing). Here metrics go to
-stdout in one aligned line AND to a JSONL file for tooling; the tracked
-scalars are the BASELINE.md set (loss, lr, images/sec/chip, E-step
-µs/image, mIoU).
+stdout in one aligned line AND to a JSONL file for tooling. The train
+loop's records carry the BASELINE.md scalar set: loss, lr,
+images/sec/chip, E-step µs/image (measured once at start —
+TrainConfig.calibrate_estep — and stamped into every record), and mIoU
+as ``val_metric`` records when periodic eval is enabled
+(TrainConfig.eval_every_steps).
 """
 
 from __future__ import annotations

@@ -29,6 +29,48 @@ def trace_context(logdir: str | None):
         jax.profiler.stop_trace()
 
 
+def measure_estep_us_per_image(
+    model_cfg, estep_cfg, batch_size: int, *, iters: int = 10, warmup: int = 2
+) -> float:
+    """Measure the deployed E-step implementation at the run's score-map
+    shape, in µs/image — the BASELINE.md metric (reference estep is
+    38.7 ms/img numpy on CPU). Timed with the relay-safe protocol: the
+    output is reduced to a scalar IN-graph and fetched per iteration
+    (block_until_ready does not sync through the axon relay). One fresh
+    jit (persistently cached across invocations)."""
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.ops.estep import estep_labels, make_class_orders
+
+    h = -(-model_cfg.input_size[0] // 8)
+    w = -(-model_cfg.input_size[1] // 8)
+    c = model_cfg.num_classes
+    key = jax.random.key(0)
+    scores = jax.random.normal(key, (batch_size, h, w, c), jnp.float32)
+    label = jnp.asarray(
+        jax.random.randint(key, (batch_size, h, w), 0, c), jnp.float32
+    )
+    orders = make_class_orders(key, estep_cfg.num_iter, c)
+
+    @jax.jit
+    def run(scores, label, orders):
+        # iterations chained in-graph (iteration-dependent input defeats
+        # CSE) so the per-dispatch relay floor amortizes over `iters`
+        # — same protocol as tools/bench_estep.py.
+        def body(i, acc):
+            out = estep_labels(scores + acc * 1e-20, label, orders, estep_cfg)
+            return acc + jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    for _ in range(warmup):
+        float(run(scores, label, orders))
+    t0 = time.perf_counter()
+    float(run(scores, label, orders))
+    dt = (time.perf_counter() - t0) / iters
+    return dt / batch_size * 1e6
+
+
 class StepTimer:
     """Wall-clock timing that blocks on device results.
 

@@ -137,6 +137,11 @@ def test_train_cli_production_knobs(voc_tree, tmp_path):
     recs = [json.loads(line) for line in log.read_text().splitlines()]
     assert recs and all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
     assert recs[-1]["step"] == 4
+    # BASELINE.md observability: every train record carries the measured
+    # E-step µs/image (train.calibrate_estep default)
+    assert all(
+        r["estep_us_per_image"] > 0 for r in recs if "loss" in r
+    ), recs
 
 
 def test_train_cli_periodic_voc_eval_saves_best(voc_tree, tmp_path):

@@ -95,3 +95,52 @@ def test_fit_saves_on_preemption(rng, tmp_path):
     assert 1 <= stop_step <= 4
     assert trainer.checkpointer.latest_step("norm") == stop_step
     trainer.checkpointer.close()
+
+
+def test_fit_watchdog_fires_below_log_cadence(rng, tmp_path):
+    """Round-2 finding: the watchdog only sampled at log cadence, so with
+    log_every_steps=500 a NaN burned up to 500 steps before detection.
+    Now every dispatch checks the previous dispatch's loss: a NaN batch
+    at step 2 must abort within a couple of dispatches even though the
+    log window is astronomically large."""
+    jax = pytest.importorskip("jax")
+    from em_adapt_tpu.config import (
+        CheckpointConfig,
+        EStepConfig,
+        ExperimentConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8),
+        estep=EStepConfig(num_iter=2),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0,
+                          log_every_steps=10**6),
+        checkpoint=CheckpointConfig(save_dir=str(tmp_path / "saver"),
+                                    save_every_steps=10**6, async_save=False),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=100)
+    state = trainer.init_state()
+
+    def batches():
+        step = 0
+        while True:
+            img = rng.normal(size=(8, 33, 33, 3)).astype(np.float32) * 20
+            if step == 1:
+                img[:] = np.nan
+            lab = rng.integers(0, 4, size=(8, 33, 33, 1)).astype(np.float32)
+            yield {"image": img, "label": lab}
+            step += 1
+
+    steps_ran = []
+    with pytest.raises(RuntimeError, match="non-finite"):
+        state = trainer.fit(state, batches(), num_steps=50,
+                            log_fn=steps_ran.append)
+    # detection happened immediately after the poisoned dispatch, far
+    # below the (10^6) log cadence — the log_fn never even fired
+    assert not steps_ran
+    trainer.checkpointer.close()

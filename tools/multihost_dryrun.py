@@ -43,6 +43,8 @@ def launch(
     devices_per_process: int = 4,
     workdir: str | None = None,
     timeout: float = 1800.0,
+    retries: int = 2,
+    overrides_extra: list[str] | None = None,
 ) -> str:
     """Run the dryrun; returns the path of process 0's metrics JSONL.
 
@@ -50,7 +52,51 @@ def launch(
     ``num_processes*devices_per_process`` virtual devices — the parity
     reference: with identical seeds the global batch and every RNG stream
     match, so the multi-process losses must equal the single-process ones.
+
+    ``retries``: Gloo's TCP connect timeout at context init (the first
+    cross-process collective) is a compiled-in constant with no env/flag
+    override in this jaxlib; on a 1-core host two concurrently-compiling
+    processes can starve it. Such failures (detected by the Gloo
+    signature in the proc logs) are retried up to this many times — the
+    shared compilation cache makes the retry's compile phase near-free,
+    so the processes reach the collective close together. Any other
+    failure raises immediately with the proc log tails attached.
     """
+    last_err: RuntimeError | None = None
+    for attempt in range(retries + 1):
+        try:
+            return _launch_once(
+                num_processes, steps, devices_per_process, workdir, timeout,
+                overrides_extra,
+            )
+        except RuntimeError as e:
+            if num_processes <= 1 or not getattr(e, "gloo_timeout", False):
+                raise
+            last_err = e
+            if workdir is not None and os.path.isdir(workdir):
+                # fresh workdir per attempt: stale orbax step dirs from
+                # the failed run must not collide with the retry's saves
+                import shutil
+
+                shutil.rmtree(workdir)
+            sys.stderr.write(
+                f"multihost dryrun: Gloo connect timeout (compile-phase "
+                f"skew), retry {attempt + 1}/{retries}\n"
+            )
+    raise last_err
+
+
+_GLOO_SIGNATURES = ("Gloo", "gloo")
+
+
+def _launch_once(
+    num_processes: int,
+    steps: int,
+    devices_per_process: int,
+    workdir: str | None,
+    timeout: float,
+    overrides_extra: list[str] | None = None,
+) -> str:
     workdir = workdir or tempfile.mkdtemp(prefix="emadapt_multihost_")
     os.makedirs(workdir, exist_ok=True)
     port = _free_port()
@@ -69,7 +115,7 @@ def launch(
         "checkpoint.async_save=False",
         "data.num_workers=2",
         "data.prefetch=1",
-    ]
+    ] + list(overrides_extra or [])
     procs = []
     for pid in range(num_processes):
         env = os.environ.copy()
@@ -110,12 +156,18 @@ def launch(
         if rc != 0:
             failed.append(pid)
     if failed:
+        gloo_timeout = False
         for pid in failed:
             with open(os.path.join(workdir, f"proc{pid}.log")) as f:
-                sys.stderr.write(
-                    f"--- proc{pid} log tail ---\n" + "".join(f.readlines()[-40:])
-                )
-        raise RuntimeError(f"multihost dryrun: processes {failed} failed")
+                tail = "".join(f.readlines()[-40:])
+            if any(sig in tail for sig in _GLOO_SIGNATURES) and (
+                "timeout" in tail or "Timeout" in tail
+            ):
+                gloo_timeout = True
+            sys.stderr.write(f"--- proc{pid} log tail ---\n" + tail)
+        err = RuntimeError(f"multihost dryrun: processes {failed} failed")
+        err.gloo_timeout = gloo_timeout
+        raise err
     return log_path
 
 
