@@ -234,6 +234,9 @@ class EvalConfig:
     crf_g_sxy: float = 3.0
     crf_g_compat: float = 3.0
     crf_iterations: int = 10
+    #: Host threads refining images in parallel during evaluate_voc (the
+    #: CRF is numpy/scipy + the native lattice, which releases the GIL).
+    crf_workers: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,21 +76,31 @@ def _bilateral_grid_filter(
     return sliced[..., :-1] / norm
 
 
-def _exact_kernel_filter(q: np.ndarray, feats: np.ndarray) -> np.ndarray:
+def _exact_kernel_filter(
+    q: np.ndarray, feats: np.ndarray, block: int = 1024
+) -> np.ndarray:
     """Brute-force O((HW)^2) normalized Gaussian filtering.
 
     ``feats`` [H, W, D] are feature coordinates ALREADY divided by their
     per-axis std; the kernel is exp(-0.5 * ||f_i - f_j||^2) — exactly the
-    kernel the grid/ndimage paths approximate. This is the oracle the
-    approximation tests quantify against (tests/test_crf.py); only usable
-    on tiny images.
+    kernel the grid/lattice/ndimage paths approximate. This is the oracle
+    the approximation tests quantify against (tests/test_crf.py and
+    tools/bench_crf.py). Row-blocked so memory is O(block * HW) instead
+    of O((HW)^2) — usable up to ~128x128 (time-bound, not memory-bound).
     """
     h, w, c = q.shape
-    f = feats.reshape(h * w, -1).astype(np.float64)
-    d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
-    ker = np.exp(-0.5 * d2)
-    num = ker @ q.reshape(h * w, c).astype(np.float64)
-    den = ker.sum(1, keepdims=True)
+    n = h * w
+    f = feats.reshape(n, -1).astype(np.float64)
+    v = q.reshape(n, c).astype(np.float64)
+    sq = (f * f).sum(-1)
+    num = np.empty((n, c), np.float64)
+    den = np.empty((n, 1), np.float64)
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        d2 = sq[i0:i1, None] + sq[None, :] - 2.0 * (f[i0:i1] @ f.T)
+        ker = np.exp(-0.5 * np.maximum(d2, 0.0))
+        num[i0:i1] = ker @ v
+        den[i0:i1] = ker.sum(1, keepdims=True)
     return (num / den).reshape(h, w, c).astype(np.float32)
 
 

@@ -64,36 +64,60 @@ class Evaluator:
         bs = batch_size or eval_cfg.batch_size
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
 
-        pend_imgs, pend_raw = [], []
+        # Per-image post-processing (TF1 bilinear upsample to the original
+        # resolution + optional denseCRF) runs on a worker pool: the CRF
+        # is host compute (numpy/scipy + the native permutohedral lattice,
+        # whose ctypes calls release the GIL), so images refine in
+        # parallel while the accumulator consumes results in order on the
+        # main thread. Round-2 finding: this loop was single-threaded and
+        # its cost unmeasured (tools/bench_crf.py has the numbers now).
+        from concurrent.futures import ThreadPoolExecutor
 
-        def flush():
+        def _post(lg, raw_img, raw_label):
+            oh, ow = raw_label.shape[:2]
+            up = np.asarray(resize_bilinear_tf(jnp.asarray(lg), (oh, ow)))
+            if use_crf:
+                from em_adapt_tpu.eval.crf import dense_crf
+
+                probs = np.asarray(jax.nn.softmax(jnp.asarray(up), axis=-1))
+                up = np.asarray(dense_crf(probs, raw_img, eval_cfg))
+            return up.argmax(-1)
+
+        pend_imgs, pend_raw = [], []
+        futures = []
+
+        def flush(pool):
             if not pend_imgs:
                 return
             imgs = jnp.asarray(np.stack(pend_imgs))
             logits = jax.device_get(self._jit_logits(params, imgs))
             for lg, (raw_img, raw_label) in zip(logits, pend_raw):
-                oh, ow = raw_label.shape[:2]
-                up = np.asarray(
-                    resize_bilinear_tf(jnp.asarray(lg), (oh, ow))
+                futures.append(
+                    (pool.submit(_post, lg, raw_img, raw_label), raw_label)
                 )
-                if use_crf:
-                    from em_adapt_tpu.eval.crf import dense_crf
-
-                    probs = jax.nn.softmax(jnp.asarray(up), axis=-1)
-                    up = np.asarray(
-                        dense_crf(np.asarray(probs), raw_img, eval_cfg)
-                    )
-                pred = up.argmax(-1)
-                acc.update(jnp.asarray(pred), jnp.asarray(raw_label))
             pend_imgs.clear()
             pend_raw.clear()
 
-        for i in range(len(dataset)):
-            raw_img, raw_label = dataset.load_raw(i)
-            img, _ = preprocess_eval(raw_img, None, input_size=self.cfg.model.input_size)
-            pend_imgs.append(img)
-            pend_raw.append((raw_img, raw_label))
-            if len(pend_imgs) == bs:
-                flush()
-        flush()
+        def drain(keep: int):
+            # bound in-flight results (a full val set of prediction maps
+            # would hold ~0.7 GB); order does not matter to the confusion
+            # sum, but FIFO keeps the oldest from pinning memory
+            while len(futures) > keep:
+                fut, raw_label = futures.pop(0)
+                acc.update(jnp.asarray(fut.result()), jnp.asarray(raw_label))
+
+        workers = max(1, eval_cfg.crf_workers if use_crf else 2)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for i in range(len(dataset)):
+                raw_img, raw_label = dataset.load_raw(i)
+                img, _ = preprocess_eval(
+                    raw_img, None, input_size=self.cfg.model.input_size
+                )
+                pend_imgs.append(img)
+                pend_raw.append((raw_img, raw_label))
+                if len(pend_imgs) == bs:
+                    flush(pool)
+                    drain(4 * workers)
+            flush(pool)
+            drain(0)
         return acc.result()

@@ -69,6 +69,10 @@ def make_class_orders(key: jax.Array, num_iter: int, num_classes: int) -> jax.Ar
     Replaces the reference's global-RNG ``random.shuffle``
     (reference estep.py:64-66) with explicit PRNG keys.
     """
+    if num_iter == 0:
+        # no-bias ablation (tools/convergence_rehearsal.py): zero visit
+        # rounds — the E-step reduces to (optionally suppressed) argmax
+        return jnp.zeros((0, num_classes - 1), jnp.int32)
     fg = jnp.arange(1, num_classes, dtype=jnp.int32)
     keys = jax.random.split(key, num_iter)
     return jnp.stack([jax.random.permutation(k, fg) for k in keys])

@@ -14,20 +14,41 @@ jax = pytest.importorskip("jax")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(REPO, "CONVERGENCE.json")
+ABLATION = os.path.join(REPO, "CONVERGENCE_ABLATION.json")
 SUPERVISED = os.path.join(REPO, "SUPERVISED.json")
 
 
 def test_committed_rehearsal_artifact_passes():
-    """The committed TPU rehearsal result must exist and pass its own
-    contract (final mIoU well above the 0.19 all-background fixed point,
-    nonzero foreground IoU = colors were learned from tags alone)."""
+    """The committed TPU rehearsal result must exist and pass the
+    round-3 contract: PEAK mIoU a margin above the 0.19 all-background
+    fixed point it cannot brush against, real per-class foreground IoU
+    (colors learned from tags alone), and a final that has not collapsed
+    back — peak AND final are both recorded so EM drift cannot hide."""
     assert os.path.exists(ARTIFACT), "run tools/convergence_rehearsal.py on TPU"
     with open(ARTIFACT) as f:
         r = json.load(f)
     assert r["pass"] is True
+    assert r["peak_miou"] >= 0.26
+    assert r["peak_mean_fg_iou"] >= 0.12
     assert r["final_miou"] >= 0.22
-    assert r["mean_fg_iou"] >= 0.08
     assert r["final_miou"] > r["init_miou"]
+
+
+def test_committed_ablation_artifact_shows_bias_drives_lift():
+    """The no-adaptive-bias arm (estep num_iter=0, suppression off —
+    plain argmax self-training) must NOT reach the main arm's peak:
+    the lift is attributable to the adaptive bias, not argmax drift."""
+    assert os.path.exists(ABLATION), (
+        "run tools/convergence_rehearsal.py --mode ablation on TPU"
+    )
+    with open(ABLATION) as f:
+        a = json.load(f)
+    with open(ARTIFACT) as f:
+        r = json.load(f)
+    assert a["pass"] is True
+    assert a["estep_num_iter"] == 0 and a["suppress_others"] is False
+    assert a["peak_miou"] < 0.24
+    assert r["peak_miou"] - a["peak_miou"] >= 0.04
 
 
 def test_committed_supervised_artifact_passes():
@@ -49,6 +70,6 @@ def test_committed_supervised_artifact_passes():
 def test_em_lifts_miou_above_chance_live():
     from tools.convergence_rehearsal import run_rehearsal
 
-    result = run_rehearsal(steps=1500)
-    assert result["final_miou"] >= 0.22, result
-    assert result["mean_fg_iou"] >= 0.08, result
+    result = run_rehearsal(steps=1500, lr_drop_epoch=None)
+    assert result["peak_miou"] >= 0.22, result
+    assert result["final_miou"] >= 0.2, result

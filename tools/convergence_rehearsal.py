@@ -107,8 +107,28 @@ def run_supervised_rehearsal(steps: int = 800, seed: int = 0, size: int = 65,
     return result
 
 
-def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
-                  log=print) -> dict:
+def run_rehearsal(steps: int = 5000, seed: int = 0, size: int = 129,
+                  lr_drop_epoch: int | None = 40, estep_iters: int = 5,
+                  suppress_others: bool = True, log=print) -> dict:
+    """The weak-tags-only EM arm.
+
+    Round-2 diagnosis (VERDICT weakness #2): the curve peaked ~0.286 at
+    ~2000 steps and then DECLINED to ~0.243 under a constant 1e-3 LR —
+    the reference recipe never trains at constant LR (it drops 10x at
+    epochs 10/20/30, reference deeplab.py:245-262). With the staged drop
+    restored (``lr_drop_epoch``, default epoch 40 = step 2560 here) the
+    post-peak decline is the hypothesis under test; the artifact records
+    peak AND final so drift cannot hide. The "best" checkpoint machinery
+    (eval_every_steps + best tag) — built for exactly this — tracks the
+    peak inside training.
+
+    ``estep_iters=0`` / ``suppress_others=False`` are the ablation arms:
+    zero bias rounds (and optionally no absent-class suppression) reduce
+    the E-step to plain argmax self-training, isolating how much of the
+    lift the ADAPTIVE BIAS drives vs argmax drift.
+    """
+    import tempfile
+
     import jax
     import numpy as np
 
@@ -125,24 +145,34 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
     from em_adapt_tpu.eval.predict import Evaluator
     from em_adapt_tpu.train import Trainer
 
+    steps_per_epoch = 64
+    schedule = ()
+    if lr_drop_epoch is not None:
+        schedule = ((lr_drop_epoch, 1e-4),)
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=4, input_size=(size, size),
                           fc6_channels=64, dropout_keep_prob=1.0,
                           init_scheme="he"),
-        estep=EStepConfig(num_iter=5, bg_p=0.4, fg_p=0.2),
-        optim=OptimConfig(base_lr=1e-3, accum_steps=1, lr_schedule=()),
+        estep=EStepConfig(num_iter=estep_iters, bg_p=0.4, fg_p=0.2,
+                          suppress_others=suppress_others),
+        optim=OptimConfig(base_lr=1e-3, accum_steps=1, lr_schedule=schedule),
         data=DataConfig(input_size=(size, size), num_workers=2,
                         random_scale=False),
         train=TrainConfig(batch_size=8, epochs=10 ** 6, seed=seed,
-                          log_every_steps=10 ** 6),
-        checkpoint=CheckpointConfig(save_every_steps=10 ** 9,
-                                    snapshot_on_lr_drop=False),
+                          log_every_steps=10 ** 6,
+                          eval_every_steps=steps // 20,
+                          calibrate_estep=False),
+        checkpoint=CheckpointConfig(save_dir=tempfile.mkdtemp(
+                                        prefix="em_rehearsal_"),
+                                    save_every_steps=10 ** 9,
+                                    snapshot_on_lr_drop=False,
+                                    async_save=False),
     )
     train_ds = LearnableSyntheticVOC(n=512, num_classes=4, seed=seed,
                                      image_size=size)
     val_ds = LearnableSyntheticVOC(n=32, num_classes=4, seed=seed,
                                    category="val", image_size=size)
-    trainer = Trainer(cfg, steps_per_epoch=64)
+    trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch)
     state = trainer.init_state()
     evaluator = Evaluator(cfg, trainer.model)
 
@@ -156,54 +186,96 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
     miou0, _ = val(state)
     batches = batch_iterator(train_ds, cfg.data, batch_size=8, seed=seed,
                              epochs=None, train=True)
-    curve = [round(float(miou0), 4)]
-    done = 0
-    chunks = 5
-    for _ in range(chunks):
-        state = trainer.fit(state, batches, num_steps=done + steps // chunks)
-        done += steps // chunks
-        m, iou = val(state)
-        curve.append(round(float(m), 4))
-        log(f"step {done}: val mIoU {m:.4f} per-class "
-            f"{np.round(iou, 3).tolist()} [{time.time() - t0:.0f}s]")
+    curve = [(0, round(float(miou0), 4))]
 
+    def eval_fn(state):
+        m, iou = val(state)
+        return float(m)
+
+    def log_fn(rec):
+        if "val_metric" in rec:
+            curve.append((rec["step"], round(rec["val_metric"], 4)))
+            log(f"step {rec['step']}: val mIoU {rec['val_metric']:.4f} "
+                f"[{time.time() - t0:.0f}s]")
+
+    # the production loop's own periodic-eval + best-checkpoint machinery
+    state = trainer.fit(state, batches, num_steps=steps, log_fn=log_fn,
+                        eval_fn=eval_fn)
     final_miou, final_iou = val(state)
+    peak_step, peak_miou = max(curve, key=lambda c: c[1])
+
+    # per-class IoU at the PEAK via the "best" checkpoint the loop kept
+    peak_iou = final_iou
+    if trainer.checkpointer.latest_step("best") is not None:
+        best_state = trainer.restore_state(tag="best")
+        _, peak_iou = val(best_state)
+
     fg_iou = [float(v) for v in final_iou[1:]]
+    peak_fg = [float(v) for v in peak_iou[1:]]
     result = {
         "task": "LearnableSyntheticVOC weak-tags-only EM",
         "input_size": size,
-        "steps": done,
+        "steps": steps,
         "seed": seed,
+        "estep_num_iter": estep_iters,
+        "suppress_others": suppress_others,
+        "lr_drop_epoch": lr_drop_epoch,
         "all_background_baseline_miou": 0.19,
-        "init_miou": curve[0],
+        "init_miou": curve[0][1],
         "miou_curve": curve,
+        "peak_miou": round(float(peak_miou), 4),
+        "peak_step": int(peak_step),
+        "peak_mean_fg_iou": round(sum(peak_fg) / len(peak_fg), 4),
+        "peak_per_class_iou": [round(float(v), 4) for v in peak_iou],
         "final_miou": round(float(final_miou), 4),
         "mean_fg_iou": round(sum(fg_iou) / len(fg_iou), 4),
         "per_class_iou": [round(float(v), 4) for v in final_iou],
         "elapsed_sec": round(time.time() - t0, 1),
         "platform": jax.devices()[0].platform,
     }
-    # The committed EM-dynamics contract: well above the all-background
-    # fixed point, with real (color-locked) foreground classes.
+    # EM-dynamics contract (tightened in round 3, tests/test_convergence.py):
+    # the peak must clear the all-background fixed point by a margin it
+    # cannot brush against, with real color-locked foreground classes.
     result["pass"] = bool(
-        result["final_miou"] >= 0.22 and result["mean_fg_iou"] >= 0.08
+        result["peak_miou"] >= 0.26
+        and result["peak_mean_fg_iou"] >= 0.12
+        and result["final_miou"] >= 0.22
     )
+    trainer.checkpointer.close()
     return result
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("weak", "strong"), default="weak")
+    ap.add_argument("--mode", choices=("weak", "strong", "ablation"),
+                    default="weak",
+                    help="'ablation' = no-bias self-training arm "
+                         "(estep num_iter=0, suppression off): the lift "
+                         "the adaptive bias must beat")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--const-lr", action="store_true",
+                    help="disable the staged LR drop (the round-2 setup "
+                         "whose post-peak decline this diagnoses)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/em_adapt_jax_cache")
+    drop = None if args.const_lr else 40
     if args.mode == "weak":
-        result = run_rehearsal(steps=args.steps or 2500, seed=args.seed)
+        result = run_rehearsal(steps=args.steps or 5000, seed=args.seed,
+                               lr_drop_epoch=drop)
         out = args.out or "CONVERGENCE.json"
+    elif args.mode == "ablation":
+        result = run_rehearsal(steps=args.steps or 5000, seed=args.seed,
+                               lr_drop_epoch=drop, estep_iters=0,
+                               suppress_others=False)
+        result["task"] += " [ABLATION: no adaptive bias, no suppression]"
+        # the ablation arm PASSES by staying at/below the trivial range —
+        # i.e. by demonstrating the adaptive bias is what drives the lift
+        result["pass"] = bool(result["peak_miou"] < 0.24)
+        out = args.out or "CONVERGENCE_ABLATION.json"
     else:
         result = run_supervised_rehearsal(steps=args.steps or 800,
                                           seed=args.seed)
