@@ -134,7 +134,8 @@ def estep(
         th = th * tags[:, j]  # absent class -> +0 (identity update)
         return f.at[:, :, :, j].add(th[:, None, None])
 
-    f = jax.lax.fori_loop(0, num_iter * c, body, f)
+    if num_iter > 0:  # the body TRACES even for a 0-trip loop
+        f = jax.lax.fori_loop(0, num_iter * c, body, f)
 
     after = jnp.mean(jnp.max(f, axis=3), axis=(1, 2))
     return f + (before - after)[:, None, None, None]

@@ -124,7 +124,8 @@ def _kernel(
         rowmax_ref[:] = jnp.maximum(rowmax, f_new)
         return 0
 
-    jax.lax.fori_loop(0, num_visits, visit_body, 0)
+    if num_visits > 0:  # the body TRACES even for a 0-trip loop
+        jax.lax.fori_loop(0, num_visits, visit_body, 0)
 
     after = jnp.sum(rowmax_ref[:], axis=1, keepdims=True) * inv_hw
     shift = before - after  # [B, 1]
@@ -214,6 +215,9 @@ def estep_pallas(
         lab2 = jnp.pad(lab2, ((0, b_pad - b), (0, 0)), constant_values=255)
     bg = jnp.zeros((num_iter, 1), jnp.int32)
     visit = jnp.concatenate([bg, orders.astype(jnp.int32)], axis=1).reshape(1, -1)
+    if num_iter == 0:
+        # dummy non-empty SMEM operand; num_visits=0 skips the loop
+        visit = jnp.zeros((1, 1), jnp.int32)
 
     num_visits = num_iter * c
     kernel = functools.partial(

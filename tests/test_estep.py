@@ -161,3 +161,28 @@ def test_absent_everything_reduces_to_suppression(rng):
     out = estep_oracle(scores, label, orders=orders, num_iter=1)
     want = suppress_absent(scores, np.zeros((1, 4), np.uint8), 1e-5)
     np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_estep_zero_iterations_reduces_to_suppressed_argmax(rng):
+    """num_iter=0 (the convergence-rehearsal ablation arm): no bias
+    rounds — all three implementations must agree with the oracle's
+    suppress-only result."""
+    import jax
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.ops.estep import estep, make_class_orders
+    from em_adapt_tpu.ops.estep_oracle import estep_oracle
+    from em_adapt_tpu.ops.estep_pallas import estep_pallas
+
+    b, h, w, c = 2, 9, 9, 5
+    scores = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    label = rng.integers(0, c, size=(b, h, w)).astype(np.float32)
+    orders = np.asarray(make_class_orders(jax.random.key(0), 0, c))
+    assert orders.shape == (0, c - 1)
+    want = estep_oracle(scores, label, orders=orders, num_iter=0)
+    j = np.asarray(estep(jnp.asarray(scores), jnp.asarray(label),
+                         jnp.asarray(orders), num_iter=0))
+    p = np.asarray(estep_pallas(jnp.asarray(scores), jnp.asarray(label),
+                                jnp.asarray(orders), num_iter=0))
+    np.testing.assert_array_equal(j.argmax(3), want.argmax(3))
+    np.testing.assert_array_equal(p.argmax(3), want.argmax(3))
