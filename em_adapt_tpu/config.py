@@ -72,12 +72,12 @@ class ModelConfig:
     #: conv XLA lowers badly at 321^2, see PROFILE.md), or "auto"
     #: (pallas on TPU for TRAINING when the shape is supported — the
     #: kernel's win is its fused backward; inference keeps xla).
-    #: Numeric deltas vs xla: bias adds in f32 before the bf16 rounding,
-    #: and pool-gradient ties split the window's gradient evenly across
-    #: tied positions (mass-conserving subgradient) where
-    #: SelectAndScatter gives it all to the first match. Spatial
-    #: partitioning (mesh space>1) forces "xla" under "auto"; a dp mesh
-    #: keeps the kernel engaged via shard_map (block1_fused_dp).
+    #: Numeric deltas vs xla: bias adds in f32 before the bf16 rounding
+    #: (bf16-ulp differences only); pool-gradient ties use the SAME
+    #: first-match routing as SelectAndScatter, so gradients match the
+    #: conv path even in flat regions. Spatial partitioning (mesh
+    #: space>1) forces "xla" under "auto"; a dp mesh keeps the kernel
+    #: engaged via shard_map (block1_fused_dp).
     block1_impl: str = "auto"
     #: Path to the Caffe-converted ``init.npy`` (reference deeplab.py:293).
     #: ``None`` -> random init per ``init_scheme``.

@@ -322,9 +322,9 @@ class DeepLabLargeFOV:
             # Fused Pallas block1: the XLA lowering runs this block at
             # 8.6 TFLOP/s (13.5 of the 59 ms step at batch 6) — see
             # ops/block1_pallas.py and PROFILE.md. Numerically equal to
-            # the conv path at f32; bf16-ulp deltas in bf16 (bias adds
-            # before the rounding) and evenly-split pool-tie gradients
-            # (mass-conserving; SelectAndScatter picks the first match).
+            # the conv path at f32 — including SelectAndScatter's
+            # first-match pool-tie gradients; bf16-ulp deltas in bf16
+            # (bias adds before the rounding).
             from em_adapt_tpu.ops.block1_pallas import (
                 block1_fused,
                 block1_fused_dp,

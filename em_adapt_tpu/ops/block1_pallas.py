@@ -43,13 +43,14 @@ Design
 Semantics deltas vs the XLA path (both flagged in ModelConfig docs):
 * bias is added in f32 before the bf16 rounding (XLA rounds the conv
   output to bf16, then adds a bf16 bias) — differences are at bf16 ulp.
-* pool-gradient TIES: equality routing splits each window's gradient
-  EVENLY across every position equal to the window max (a valid
-  subgradient — per-window gradient mass conserved, see
-  _pool_tie_inv); XLA's SelectAndScatter gives the full mass to the
-  first match. Both conserve mass, so flat/saturated image regions
-  (where 9-way ties are the norm, not measure-zero) see no gradient
-  inflation; the distribution across tied positions differs.
+* pool-gradient TIES: none anymore — the backward routes each window's
+  gradient to the FIRST (row-major) position equal to the window max
+  (_pool_first_match), exactly XLA SelectAndScatter's tie-break, so
+  tied-window gradients match the conv path bit-for-bit even in the
+  flat/saturated regions where exact ties are the norm. (Round 2
+  routed to EVERY tied position, inflating flat-region gradients up
+  to 9x — advisor finding, and measurably worse EM dynamics on the
+  piecewise-constant rehearsal task.)
 
 The kernel auto-interprets off-TPU (same contract as estep_pallas.py),
 so CPU tests exercise the identical program.
@@ -177,25 +178,28 @@ def _conv2(y1p, w2_ref, b2_ref, p2_ref, *, s, PT, H, W, WPAD, dtype):
     return y2.astype(dtype)
 
 
-def _pool_tie_inv(y2r, pooled, *, PT, WPAD, OW):
-    """1/count of window positions equal to the window max, [PT+1, OW, F].
+def _pool_first_match(y2r, pooled, *, PT, WPAD, OW):
+    """Row-major window-internal index (0..8) of each window's FIRST
+    position equal to the window max, [PT+1, OW, F] f32.
 
     The pool backward routes the incoming gradient by EQUALITY against
-    the recomputed window max; a window whose max appears at k positions
-    would send the FULL gradient to all k (inflating it up to 9x in flat
-    image regions — common for saturated/uniform uint8 inputs, and more
-    so in bf16). Scaling each routed contribution by 1/k keeps a valid
-    subgradient of the max: per-window gradient mass is conserved, like
-    XLA's SelectAndScatter (which picks the first match instead).
+    the recomputed window max; without a tie-break, a window whose max
+    appears at k positions would send the FULL gradient to all k
+    (inflating it up to 9x in flat image regions — common for
+    saturated/uniform inputs, where exact ties are the norm). Routing to
+    the FIRST match in row-major window order reproduces XLA's
+    SelectAndScatter tie-break exactly (lax.ge select scans the window
+    in iteration order), so tied-window gradients match the reference
+    conv path bit-for-bit (tests/test_block1_pallas.py::
+    test_pool_tie_gradient_first_match).
 
-    Geometry mirrors :func:`_pool` exactly (window (Ploc, Q) covers y2
-    local rows 2Ploc..2Ploc+2 and cols 2Q-1..2Q+1): per (row-term,
-    col-shift) pair the shifted slab is column-subsampled with the same
-    exact selection matmul and compared to the pooled max in f32 (no
-    bf16 cmpf on TPU; the selection passes bf16 values through exactly).
-    All-zero windows count their padding zeros, but those positions die
-    at the ReLU mask, so only max>0 windows matter — where padding never
-    equals the max. Division-free in the hot loop: returns 1/k.
+    Geometry mirrors :func:`_pool` exactly — window (Ploc, Q) covers y2
+    local rows 2Ploc..2Ploc+2 (row terms ev/od/ev') and cols
+    2Q-1..2Q+1 (flat col shifts); each of the 9 (row u, col v) slabs is
+    column-subsampled with the same exact selection matmul and compared
+    to the pooled max in f32 (no bf16 cmpf on TPU; the selection passes
+    bf16 values through exactly). All-zero windows match their padding
+    zeros, but those positions die at the ReLU mask downstream.
     """
     R2 = 2 * PT + 3
     f = y2r.shape[1]
@@ -203,21 +207,27 @@ def _pool_tie_inv(y2r, pooled, *, PT, WPAD, OW):
     z1 = jnp.zeros((1, f), y2r.dtype)
     y2p = jnp.concatenate([z1, y2r, z1], axis=0)
     col_shifts = (
-        jax.lax.slice_in_dim(y2p, 0, n, axis=0),   # col -1
-        y2r,                                        # col  0
-        jax.lax.slice_in_dim(y2p, 2, n + 2, axis=0),  # col +1
+        jax.lax.slice_in_dim(y2p, 0, n, axis=0),   # col 2Q-1 (v=0)
+        y2r,                                        # col 2Q   (v=1)
+        jax.lax.slice_in_dim(y2p, 2, n + 2, axis=0),  # col 2Q+1 (v=2)
     )
     qi = jax.lax.broadcasted_iota(jnp.int32, (OW, WPAD), 0)
     ji = jax.lax.broadcasted_iota(jnp.int32, (OW, WPAD), 1)
     sel = (ji == 2 * qi).astype(y2r.dtype)
     pooled32 = pooled.astype(jnp.float32)
-    cnt = jnp.zeros((PT + 1, OW, f), jnp.float32)
-    for slab in col_shifts:
+
+    def row_terms(slab):
         m3 = slab.reshape(R2, WPAD, f)
         m3p = jnp.concatenate([m3, jnp.zeros((1, WPAD, f), m3.dtype)], axis=0)
         v = m3p.reshape(PT + 2, 2, WPAD, f)
         ev, od = v[:, 0], v[:, 1]
-        for rows in (ev[:PT + 1], od[:PT + 1], ev[1:PT + 2]):
+        return (ev[:PT + 1], od[:PT + 1], ev[1:PT + 2])  # rows 2P, +1, +2
+
+    terms = [row_terms(cs) for cs in col_shifts]
+    first = jnp.full((PT + 1, OW, f), jnp.float32(9.0))  # sentinel
+    for u in range(3):  # window-internal row, row-major order
+        for v in range(3):  # window-internal col
+            rows = terms[v][u]
             ds = jnp.stack(
                 [
                     jnp.dot(sel, rows[r], preferred_element_type=jnp.float32)
@@ -225,8 +235,9 @@ def _pool_tie_inv(y2r, pooled, *, PT, WPAD, OW):
                 ],
                 axis=0,
             )  # [PT+1, OW, f] f32, exact selection
-            cnt = cnt + (ds == pooled32).astype(jnp.float32)
-    return 1.0 / jnp.maximum(cnt, 1.0)
+            o = jnp.float32(3 * u + v)
+            first = jnp.where((ds == pooled32) & (first == 9.0), o, first)
+    return first
 
 
 def _pool(y2r, *, PT, WPAD, OW):
@@ -331,13 +342,11 @@ def _bwd_kernel(patches_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         return jnp.concatenate([zr, t, zr1], axis=0)  # rows: 2 front, 1 back
 
     adt = _acc_dtype(dtype)
-    # Pre-scale dy by 1/tie-count per window, so the equality routing
-    # below distributes each window's gradient evenly across its tied
-    # maxima (valid subgradient, mass conserved — see _pool_tie_inv).
-    dy_split = (dy.astype(jnp.float32)
-                * _pool_tie_inv(y2r, pooled, PT=PT, WPAD=WPAD, OW=OW)
-                ).astype(dy.dtype)
-    ry, rdy = rep2(pooled), rep2(dy_split)
+    # First-match tie-break map (SelectAndScatter parity): window w's
+    # gradient goes ONLY to its first (row-major) max position.
+    first = _pool_first_match(y2r, pooled, PT=PT, WPAD=WPAD, OW=OW)
+    ry, rdy = rep2(pooled), rep2(dy)
+    rfi = rep2(first.astype(dy.dtype))
     y23 = y2r.reshape(R2, WPAD, f)
     t2i = jax.lax.broadcasted_iota(jnp.int32, (R2, 1, 1), 0)
     ji = jax.lax.broadcasted_iota(jnp.int32, (1, WPAD, 1), 1)
@@ -353,8 +362,16 @@ def _bwd_kernel(patches_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                (1 - orr + R2, 1 - occ + WPAD, f))
             ds_ = jax.lax.slice(rdy, (1 - orr, 1 - occ, 0),
                                 (1 - orr + R2, 1 - occ + WPAD, f))
+            fi_ = jax.lax.slice(rfi, (1 - orr, 1 - occ, 0),
+                                (1 - orr + R2, 1 - occ + WPAD, f))
+            # position p is window-internal (orr+1, occ+1) of this window
+            o_idx = jnp.float32(3 * (orr + 1) + (occ + 1))
             # bf16 cmpf is unsupported on this target; f32 cast is exact
-            hit = (y23.astype(jnp.float32) == ys.astype(jnp.float32)) & par
+            hit = (
+                (y23.astype(jnp.float32) == ys.astype(jnp.float32))
+                & par
+                & (fi_.astype(jnp.float32) == o_idx)
+            )
             dy2 = dy2 + jnp.where(hit, ds_, jnp.zeros((), adt))
 
     # relu mask + ownership (each global y2 row owned by ONE strip)

@@ -93,11 +93,11 @@ def test_bfloat16_path():
         np.asarray(got, np.float32), np.asarray(want), rtol=0.05, atol=0.05)
 
 
-def test_pool_tie_gradient_split():
-    """Pool-gradient ties are split EVENLY across tied maxima (a valid
-    subgradient: per-window gradient mass is conserved, like XLA's
-    SelectAndScatter first-match — unlike the round-2 sum-routing that
-    inflated gradients up to 9x in flat image regions)."""
+def test_pool_tie_gradient_first_match():
+    """Pool ties route to the FIRST (row-major) max position — exactly
+    XLA SelectAndScatter's tie-break — so gradients match the conv path
+    even where exact ties are the norm (flat regions; round 2 routed to
+    EVERY tied position, inflating those gradients up to 9x)."""
     rng = np.random.default_rng(4)
     f = 8
     # identity-ish setup: w2 = center-tap identity, w1 maps channel 0
@@ -116,32 +116,35 @@ def test_pool_tie_gradient_split():
         return jnp.sum(block1_fused(x, *p, True))
 
     dw1 = jax.grad(loss)((w1, b1, w2, b2))[0]
-    # (4,4) sits in 1 pooled window (tied with (5,5)), (5,5) in 4 (the
-    # tied one + 3 where it is the sole max). Tie-split routing:
-    # dz1[(4,4)]=0.5, dz1[(5,5)]=0.5+3 -> dw1 center tap =
-    # 2*0.5 + 2*3.5 = 8.0 == total gradient mass of the 4 windows times
-    # the activation (what SelectAndScatter also yields here).
+    # (4,4) is row-major-first in the tied window -> it takes that
+    # window's full gradient; (5,5) keeps its 3 solo windows.
+    # dz1[(4,4)]=1, dz1[(5,5)]=3 -> dw1 center tap = 2*1 + 2*3 = 8.0,
+    # identical to the XLA SelectAndScatter routing.
     assert float(dw1[1, 1, 0, 0]) == pytest.approx(8.0)
-    # and a fully FLAT region (9-way ties everywhere) must not inflate
-    # the gradient vs the XLA path: compare total dw1 mass directly.
-    flat = jnp.full((1, 13, 13, 3), 1.0, jnp.float32)
+
+    # Randomized integer-valued inputs (exact ties everywhere, including
+    # a fully flat border region): ALL parameter gradients must equal
+    # the XLA path's bit-for-bit routing to f32 tolerance.
+    xi = rng.integers(0, 3, size=(2, 13, 13, 3)).astype(np.float32)
+    xi[:, :4, :4] = 1.0  # flat patch -> many 9-way ties
+    xi = jnp.asarray(xi)
+    w1r = jnp.asarray(rng.integers(-2, 3, size=(3, 3, 3, f)), jnp.float32)
+    w2r = jnp.asarray(rng.integers(-2, 3, size=(3, 3, f, f)), jnp.float32)
+    p = (w1r, b1, w2r, b2)
 
     def loss_x(p):
-        return jnp.sum(_xla_block1(flat, *p))
+        return jnp.sum(_xla_block1(xi, *p) * 0.01)
 
     def loss_f(p):
-        return jnp.sum(block1_fused(flat, *p, True))
+        return jnp.sum(block1_fused(xi, *p, True) * 0.01)
 
-    g_x = jax.grad(loss_x)((w1, b1, w2, b2))
-    g_f = jax.grad(loss_f)((w1, b1, w2, b2))
-    # mass-conservation invariants that are routing-independent: the
-    # center-tap weight gradient (every center x is 1) and the bias
-    # gradient both equal the total routed mass. The round-2 sum-routing
-    # inflated these ~9x here.
-    np.testing.assert_allclose(
-        np.asarray(g_f[0][1, 1]), np.asarray(g_x[0][1, 1]), rtol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(g_f[1]), np.asarray(g_x[1]), rtol=1e-5)
+    g_x = jax.grad(loss_x)(p)
+    g_f = jax.grad(loss_f)(p)
+    for name, a, b in zip(("w1", "b1", "w2", "b2"), g_x, g_f):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale,
+            rtol=1e-5, atol=1e-5, err_msg=f"d{name} tie-routing mismatch")
 
 
 def test_unsupported_shape_raises():

@@ -108,16 +108,18 @@ def run_supervised_rehearsal(steps: int = 800, seed: int = 0, size: int = 65,
 
 
 def run_rehearsal(steps: int = 5000, seed: int = 0, size: int = 129,
-                  lr_drop_epoch: int | None = 40, estep_iters: int = 5,
-                  suppress_others: bool = True, log=print) -> dict:
+                  lr_drop_epoch: int | None = 20, estep_iters: int = 5,
+                  suppress_others: bool = True, block1_impl: str = "auto",
+                  log=print) -> dict:
     """The weak-tags-only EM arm.
 
     Round-2 diagnosis (VERDICT weakness #2): the curve peaked ~0.286 at
     ~2000 steps and then DECLINED to ~0.243 under a constant 1e-3 LR —
     the reference recipe never trains at constant LR (it drops 10x at
-    epochs 10/20/30, reference deeplab.py:245-262). With the staged drop
-    restored (``lr_drop_epoch``, default epoch 40 = step 2560 here) the
-    post-peak decline is the hypothesis under test; the artifact records
+    epochs 10/20/30 — the first drop at 25% of the 40-epoch run,
+    reference deeplab.py:245-262). The staged drop is restored at the
+    same proportional point (``lr_drop_epoch`` 20 = step 1280 of 5000,
+    ~26%), right after the observed peak window; the artifact records
     peak AND final so drift cannot hide. The "best" checkpoint machinery
     (eval_every_steps + best tag) — built for exactly this — tracks the
     peak inside training.
@@ -152,7 +154,7 @@ def run_rehearsal(steps: int = 5000, seed: int = 0, size: int = 129,
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=4, input_size=(size, size),
                           fc6_channels=64, dropout_keep_prob=1.0,
-                          init_scheme="he"),
+                          init_scheme="he", block1_impl=block1_impl),
         estep=EStepConfig(num_iter=estep_iters, bg_p=0.4, fg_p=0.2,
                           suppress_others=suppress_others),
         optim=OptimConfig(base_lr=1e-3, accum_steps=1, lr_schedule=schedule),
@@ -262,7 +264,7 @@ def main(argv=None) -> int:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/em_adapt_jax_cache")
-    drop = None if args.const_lr else 40
+    drop = None if args.const_lr else 20
     if args.mode == "weak":
         result = run_rehearsal(steps=args.steps or 5000, seed=args.seed,
                                lr_drop_epoch=drop)
