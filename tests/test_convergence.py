@@ -22,16 +22,26 @@ def test_committed_rehearsal_artifact_passes():
     """The committed TPU rehearsal result must exist and pass the
     round-3 contract: PEAK mIoU a margin above the 0.19 all-background
     fixed point it cannot brush against, real per-class foreground IoU
-    (colors learned from tags alone), and a final that has not collapsed
-    back — peak AND final are both recorded so EM drift cannot hide."""
+    (colors learned from tags alone), and a final that HOLDS after the
+    phase-2 warm-start refine — peak AND final are both recorded so EM
+    drift cannot hide."""
     assert os.path.exists(ARTIFACT), "run tools/convergence_rehearsal.py on TPU"
     with open(ARTIFACT) as f:
         r = json.load(f)
     assert r["pass"] is True
+    assert r["dropout_keep_prob"] == 0.5  # the reference's training recipe
     assert r["peak_miou"] >= 0.26
-    assert r["peak_mean_fg_iou"] >= 0.12
-    assert r["final_miou"] >= 0.22
+    assert r["peak_mean_fg_iou"] >= 0.15
+    assert r["final_miou"] >= 0.24
     assert r["final_miou"] > r["init_miou"]
+    # best-of-N protocol (EM from random init is bistable — the init
+    # lottery and ulp-level numeric perturbations bifurcate the abrupt
+    # label-locking; the reference's production workflow always
+    # warm-starts from ImageNet features): every seed is recorded and a
+    # MAJORITY of trajectories must lock onto the foreground colors.
+    assert len(r["seeds"]) >= 5
+    locked = [s for s in r["seeds"] if s["peak_miou"] >= 0.23]
+    assert 2 * len(locked) > len(r["seeds"])
 
 
 def test_committed_ablation_artifact_shows_bias_drives_lift():
