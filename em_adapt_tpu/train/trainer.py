@@ -232,6 +232,7 @@ class Trainer:
             )
         self._ckpt = None
         self._best_metric = float("-inf")
+        self._warmup_barriers = 0
 
     def _build_state(self, key: jax.Array) -> TrainState:
         k_params, k_state = jax.random.split(key)
@@ -292,6 +293,61 @@ class Trainer:
             abstract,
             sh,
         )
+
+    def _multihost_warmup(self, state, batches, macro_k, remaining_steps):
+        """Compile-then-barrier before the first multi-controller dispatch.
+
+        XLA's Gloo CPU collectives initialize their TCP context through
+        the coordination KV store with a hard-coded ~30 s rendezvous
+        deadline (``GetKeyValue() timed out``; no env/flag override in
+        this jaxlib). The first collective runs inside the first
+        train-step EXECUTION, so if one process is still compiling while
+        another has already dispatched, the skew eats the deadline and
+        the whole job dies — reproduced repeatedly on a 1-core host
+        where two processes compile the same executable concurrently.
+        Fix the root cause: AOT-compile the step executables BEFORE any
+        dispatch, then hold every process at a coordination-service
+        barrier (which tolerates arbitrary skew, 10 min here) so the
+        Gloo rendezvous starts near-simultaneously everywhere.
+
+        Returns an iterable equivalent to ``batches`` (the peeked first
+        batch, already sharded, is chained back on). With the persistent
+        compilation cache enabled (the CLI default) the post-barrier jit
+        call re-traces and fetches the executable from the cache; with
+        the cache disabled the warmup costs one extra compile —
+        correctness is unaffected either way.
+        """
+        import itertools
+
+        from jax._src import distributed
+
+        it = iter(batches)
+        try:
+            first = next(it)
+        except StopIteration:
+            return iter(())
+        arrays = {
+            k: v for k, v in first.items() if not isinstance(v, (list, str))
+        }
+        if not all(isinstance(v, jax.Array) for v in arrays.values()):
+            arrays = self.plan.shard_batch(arrays)
+
+        def aval(a):
+            return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+
+        batch_avals = {k: aval(v) for k, v in arrays.items()}
+        state_avals = jax.tree.map(aval, state)
+        self.train_step.lower(state_avals, batch_avals).compile()
+        if self.macro_step is not None and remaining_steps >= macro_k > 1:
+            self.macro_step.lower(state_avals, (batch_avals,) * macro_k).compile()
+        client = distributed.global_state.client
+        if client is not None:
+            self._warmup_barriers += 1
+            client.wait_at_barrier(
+                f"em_adapt_fit_warmup_{self._warmup_barriers}",
+                timeout_in_ms=600_000,
+            )
+        return itertools.chain([{**first, **arrays}], it)
 
     def restore_state(
         self, *, tag: str = "norm", step: int | None = None
@@ -392,6 +448,10 @@ class Trainer:
         with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
             if prefetcher is not None:
                 stack.callback(prefetcher.close)
+            if jax.process_count() > 1:
+                batches = self._multihost_warmup(
+                    state, batches, macro_k, total_steps - step_idx
+                )
             for batch in batches:
                 if step_idx >= total_steps:
                     break

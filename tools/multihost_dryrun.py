@@ -53,14 +53,17 @@ def launch(
     reference: with identical seeds the global batch and every RNG stream
     match, so the multi-process losses must equal the single-process ones.
 
-    ``retries``: Gloo's TCP connect timeout at context init (the first
-    cross-process collective) is a compiled-in constant with no env/flag
-    override in this jaxlib; on a 1-core host two concurrently-compiling
-    processes can starve it. Such failures (detected by the Gloo
-    signature in the proc logs) are retried up to this many times — the
-    shared compilation cache makes the retry's compile phase near-free,
-    so the processes reach the collective close together. Any other
-    failure raises immediately with the proc log tails attached.
+    ``retries``: Gloo's context-init deadlines (TCP connect timeout, and
+    the ~30 s KV-store ``GetKeyValue`` rendezvous deadline) are
+    compiled-in constants with no env/flag override in this jaxlib; on a
+    1-core host two concurrently-compiling processes can starve them.
+    The primary defense is ``Trainer._multihost_warmup`` (AOT compile +
+    coordination-service barrier before the first dispatch, so the Gloo
+    rendezvous starts with near-zero skew); residual failures (detected
+    by the Gloo signature + a timeout word in the proc logs) are retried
+    up to this many times — the shared compilation cache makes the
+    retry's compile phase near-free. Any other failure raises
+    immediately with the proc log tails attached.
     """
     last_err: RuntimeError | None = None
     for attempt in range(retries + 1):
@@ -80,7 +83,7 @@ def launch(
 
                 shutil.rmtree(workdir)
             sys.stderr.write(
-                f"multihost dryrun: Gloo connect timeout (compile-phase "
+                f"multihost dryrun: Gloo init timeout (compile-phase "
                 f"skew), retry {attempt + 1}/{retries}\n"
             )
     raise last_err
@@ -160,8 +163,9 @@ def _launch_once(
         for pid in failed:
             with open(os.path.join(workdir, f"proc{pid}.log")) as f:
                 tail = "".join(f.readlines()[-40:])
-            if any(sig in tail for sig in _GLOO_SIGNATURES) and (
-                "timeout" in tail or "Timeout" in tail
+            if any(sig in tail for sig in _GLOO_SIGNATURES) and any(
+                t in tail
+                for t in ("timeout", "Timeout", "timed out", "DEADLINE_EXCEEDED")
             ):
                 gloo_timeout = True
             sys.stderr.write(f"--- proc{pid} log tail ---\n" + tail)
