@@ -7,7 +7,16 @@ same trick as tests/conftest.py), then hand off to the real CLI so the
 full ``em-adapt train --multihost`` path runs unchanged.
 """
 
+import os
 import sys
+
+# Hermetic import: `python tools/_multihost_worker.py` puts tools/ (not
+# the repo root) on sys.path, so without the editable pip install the
+# `em_adapt_tpu` import below fails with ModuleNotFoundError. Insert the
+# repo root explicitly so the worker runs in a fresh environment too.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import jax
 
