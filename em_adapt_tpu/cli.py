@@ -227,12 +227,16 @@ def cmd_train(args) -> int:
     eval_fn = None
     if cfg.train.eval_every_steps:
         # Under --multihost EVERY process evaluates the full (unsharded)
-        # val set: the computation is deterministic and replicated, so
-        # all processes reach identical scores and make identical
-        # best-checkpoint decisions — required because the orbax "best"
-        # save is a collective that every process must enter in lockstep.
-        # The redundancy is per-process host work only; the jitted
-        # forward runs replicated on each process's local devices.
+        # val set, then adopts PROCESS 0's score via a broadcast before
+        # the best-checkpoint comparison. The computation is replicated
+        # and normally bit-identical, but the decision must be identical
+        # BY CONSTRUCTION — the orbax "best" save is a collective every
+        # process must enter in lockstep, and any cross-host numeric
+        # drift (e.g. use_crf picking the native lattice on one host and
+        # the numpy fallback on another) would otherwise hang the job at
+        # the save barrier. The redundancy is per-process host work only;
+        # the jitted forward runs replicated on each process's local
+        # devices.
         from em_adapt_tpu.eval.predict import Evaluator
 
         if args.synthetic:
@@ -250,31 +254,49 @@ def cmd_train(args) -> int:
                 # Exact VOC protocol (per-image original-resolution compare)
                 # so "best" selection matches the headline-number protocol.
                 miou, _ = evaluator.evaluate_voc(params, val_ds)
-                return miou
-            vb = batch_iterator(val_ds, cfg.data, batch_size=cfg.eval.batch_size,
-                                seed=0, epochs=1, train=False,
-                                drop_remainder=False, pad_remainder=True)
-            miou, _ = evaluator.evaluate_fixed(params, vb)
+            else:
+                vb = batch_iterator(val_ds, cfg.data,
+                                    batch_size=cfg.eval.batch_size,
+                                    seed=0, epochs=1, train=False,
+                                    drop_remainder=False, pad_remainder=True)
+                miou, _ = evaluator.evaluate_fixed(params, vb)
+            if jax.process_count() > 1:
+                # Identical best-checkpoint decisions by construction
+                # (see the comment above): all processes use process 0's
+                # score.
+                import numpy as np
+                from jax.experimental import multihost_utils
+
+                miou = float(multihost_utils.broadcast_one_to_all(
+                    np.float32(miou)
+                ))
             return miou
 
     logger = MetricLogger(args.log_jsonl) if is_main else None
     log_fn = logger
-    if cfg.train.calibrate_estep and logger is not None:
+    if cfg.train.calibrate_estep:
         # One-off measurement of the deployed E-step at this run's
         # score-map shape (BASELINE.md metric; the reference's host numpy
         # E-step is 38.7 ms/img). Stamped into every train JSONL record.
-        # One tiny jit, persistently cached across invocations.
+        # One tiny jit, persistently cached across invocations. The
+        # trainer's mesh is threaded through so the SAME impl the train
+        # step deploys is timed (shard_mapped Pallas on a dp mesh, not
+        # the meshless XLA fallback) — which also means EVERY process
+        # must run it (the shard_mapped path contains a collective; only
+        # process 0 entering it would deadlock a multi-host run).
         from em_adapt_tpu.utils.profiling import measure_estep_us_per_image
 
         estep_us = round(measure_estep_us_per_image(
-            cfg.model, cfg.estep, cfg.train.batch_size), 1)
-        print(f"estep calibration: {estep_us} us/image "
-              f"(impl={cfg.estep.impl}, batch={cfg.train.batch_size})")
-
-        def log_fn(m, _logger=logger, _v=estep_us):
-            if "loss" in m:
-                m = {**m, "estep_us_per_image": _v}
-            _logger(m)
+            cfg.model, cfg.estep, cfg.train.batch_size,
+            mesh=trainer.plan.mesh, data_axis=trainer.plan.data_axis), 1)
+        if is_main:
+            print(f"estep calibration: {estep_us} us/image "
+                  f"(impl={cfg.estep.impl}, batch={cfg.train.batch_size})")
+        if logger is not None:
+            def log_fn(m, _logger=logger, _v=estep_us):
+                if "loss" in m:
+                    m = {**m, "estep_us_per_image": _v}
+                _logger(m)
 
     batches = batch_iterator(
         ds, cfg.data, batch_size=cfg.train.batch_size, seed=cfg.train.seed,

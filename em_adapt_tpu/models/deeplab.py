@@ -217,6 +217,13 @@ class DeepLabLargeFOV:
 
         n_dev = jax.device_count()
         n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
+        # NOTE n_data == 1 (e.g. a TP-only mesh) still qualifies: the
+        # batch is replicated there, so every chip runs the full-batch
+        # kernel — but that replication is the norm for unsharded compute
+        # (the XLA conv would run replicated too) and the kernel is the
+        # faster per-chip choice. The gate this function exists for is
+        # the OTHER case: data-SHARDED input with no mesh to shard_map
+        # over, where GSPMD would all-gather first.
         can_shard = mesh is not None and mesh.size > 1 and b % n_data == 0
         b_local = b // n_data if can_shard else b
         if impl == "pallas":
@@ -228,13 +235,20 @@ class DeepLabLargeFOV:
             if n_dev > 1 and not can_shard:
                 import warnings
 
+                why = (
+                    f"a mesh whose {data_axis!r} axis ({n_data}) does "
+                    f"not divide the batch ({b}) — make the batch "
+                    "divisible"
+                    if mesh is not None
+                    else "no mesh to shard_map over — pass "
+                    "mesh=/data_axis= to apply() (the trainer does)"
+                )
                 warnings.warn(
-                    "model.block1_impl='pallas' on >1 device without a "
-                    "mesh to shard_map over: GSPMD has no partitioning "
-                    "rule for a pallas call, so XLA will all-gather the "
-                    "sharded batch and run the whole kernel redundantly "
-                    "on every chip. Pass mesh=/data_axis= to apply() "
-                    "(the trainer does) or use block1_impl='auto'.",
+                    "model.block1_impl='pallas' on >1 device with "
+                    f"{why}, or use block1_impl='auto'. As-is, GSPMD "
+                    "has no partitioning rule for a pallas call, so XLA "
+                    "will all-gather the sharded batch and run the "
+                    "whole kernel redundantly on every chip.",
                     stacklevel=2,
                 )
             return "pallas_dp" if can_shard else "pallas"

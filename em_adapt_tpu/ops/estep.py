@@ -241,6 +241,9 @@ def estep_labels(
     # shard_map eligibility: a mesh that spans >1 device whose data axis
     # evenly divides the batch (each kernel instance sees b_local images).
     n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
+    # n_data == 1 (TP-only mesh) still qualifies: replicated input ->
+    # replicated kernel, same redundancy the XLA sort path would have,
+    # but faster per chip (see models/deeplab.py::_block1_mode NOTE).
     can_shard = mesh is not None and mesh.size > 1 and b % n_data == 0
     b_local = b // n_data if can_shard else b
     kw = dict(
@@ -255,12 +258,19 @@ def estep_labels(
         if n_dev > 1 and not can_shard:
             import warnings
 
+            why = (
+                f"a mesh whose {data_axis!r} axis ({n_data}) does not "
+                f"divide the batch ({b}) — make the batch divisible"
+                if mesh is not None
+                else "no mesh to shard_map over — pass mesh=/data_axis= "
+                "(the trainer does)"
+            )
             warnings.warn(
-                "estep.impl='pallas' on >1 device without a mesh to "
-                "shard_map over: GSPMD has no partitioning rule for a "
-                "pallas call, so XLA will all-gather the score map and "
-                "run the WHOLE batch redundantly on every chip. Pass "
-                "mesh=/data_axis= (the trainer does) or use impl='auto'.",
+                "estep.impl='pallas' on >1 device with "
+                f"{why}, or use impl='auto'. As-is, GSPMD has no "
+                "partitioning rule for a pallas call, so XLA will "
+                "all-gather the score map and run the WHOLE batch "
+                "redundantly on every chip.",
                 stacklevel=2,
             )
     else:

@@ -53,6 +53,20 @@ class CheckpointManager:
             )
         return mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def restore_saved(self, *, tag: str = "norm", step: int | None = None):
+        """Restore the checkpoint's OWN saved structure (no template; host
+        arrays, pytree nodes as nested dicts). Survives TrainState tree
+        changes across runs — e.g. an ``optim.accum_steps`` change reshapes
+        the MultiSteps slots, which makes a template-driven restore fail
+        even though the params subtree is perfectly loadable."""
+        mgr = self._manager(tag)
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {self.cfg.save_dir}/{tag}"
+            )
+        return mgr.restore(step, args=ocp.args.StandardRestore())
+
     def latest_step(self, tag: str = "norm") -> int | None:
         return self._manager(tag).latest_step()
 

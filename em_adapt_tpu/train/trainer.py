@@ -381,10 +381,35 @@ class Trainer:
 
         mgr = CheckpointManager(_dc.replace(self.cfg.checkpoint, save_dir=save_dir))
         try:
-            restored = mgr.restore(self.abstract_state(), tag=tag, step=step)
+            try:
+                # Fast path: the saved TrainState tree matches this run's —
+                # restore directly onto the mesh and keep only params.
+                new_params = mgr.restore(
+                    self.abstract_state(), tag=tag, step=step
+                ).params
+            except FileNotFoundError:
+                raise
+            except Exception:
+                # Tree drift: a changed optimizer config (accum_steps,
+                # momentum on/off, ...) reshapes the opt_state subtree and
+                # the template-driven restore fails — but model_path
+                # semantics only need params. Restore the checkpoint's own
+                # saved structure and graft the params subtree onto this
+                # run's shardings/dtypes.
+                saved = mgr.restore_saved(tag=tag, step=step)
+                saved_params = (
+                    saved["params"] if isinstance(saved, dict) else saved.params
+                )
+                new_params = jax.tree.map(
+                    lambda cur, t: jax.device_put(
+                        jnp.asarray(t, cur.dtype), cur.sharding
+                    ),
+                    state.params,
+                    saved_params,
+                )
         finally:
             mgr.close()
-        return state.replace(params=restored.params)
+        return state.replace(params=new_params)
 
     @property
     def checkpointer(self):
@@ -444,6 +469,7 @@ class Trainer:
         watchdog = LossWatchdog()
         macro_k = max(1, cfg.train.macro_steps) if self.macro_step else 1
         buf: list = []
+        metrics = None
         prev_metrics = None  # metrics of the PREVIOUS dispatch (see below)
         with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
             if prefetcher is not None:
@@ -560,4 +586,14 @@ class Trainer:
                     state, metrics = self.train_step(state, arrays)
                     n_done += 1
                     step_idx += 1
+            # Final health check: the in-loop watchdog always inspects the
+            # PREVIOUS dispatch (to keep the pipeline full), so the last
+            # dispatch — and the tail-flush steps above — would otherwise
+            # escape scrutiny and a NaN state could be checkpointed as
+            # "norm" by the caller. NaNs propagate through the params, so
+            # one check on the final loss covers the whole tail.
+            if metrics is not None and not shutdown.requested:
+                reason = watchdog.check(float(jax.device_get(metrics["loss"])))
+                if reason is not None:
+                    raise RuntimeError(f"training unhealthy: {reason}")
         return state

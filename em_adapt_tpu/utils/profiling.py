@@ -30,14 +30,28 @@ def trace_context(logdir: str | None):
 
 
 def measure_estep_us_per_image(
-    model_cfg, estep_cfg, batch_size: int, *, iters: int = 10, warmup: int = 2
+    model_cfg,
+    estep_cfg,
+    batch_size: int,
+    *,
+    iters: int = 10,
+    warmup: int = 2,
+    mesh=None,
+    data_axis: str = "data",
 ) -> float:
     """Measure the deployed E-step implementation at the run's score-map
     shape, in µs/image — the BASELINE.md metric (reference estep is
     38.7 ms/img numpy on CPU). Timed with the relay-safe protocol: the
     output is reduced to a scalar IN-graph and fetched per iteration
     (block_until_ready does not sync through the axon relay). One fresh
-    jit (persistently cached across invocations)."""
+    jit (persistently cached across invocations).
+
+    Pass the run's ``mesh``/``data_axis`` (the trainer threads them into
+    ``estep_labels``) so the measurement exercises the SAME impl choice
+    the deployed train step makes — without them, a multi-device run
+    would time the XLA fallback while the step runs the shard_mapped
+    Pallas kernel. On a mesh that spans processes this contains a
+    collective: every process must call it (see cli.py calibration)."""
     import jax.numpy as jnp
 
     from em_adapt_tpu.ops.estep import estep_labels, make_class_orders
@@ -58,7 +72,10 @@ def measure_estep_us_per_image(
         # CSE) so the per-dispatch relay floor amortizes over `iters`
         # — same protocol as tools/bench_estep.py.
         def body(i, acc):
-            out = estep_labels(scores + acc * 1e-20, label, orders, estep_cfg)
+            out = estep_labels(
+                scores + acc * 1e-20, label, orders, estep_cfg,
+                mesh=mesh, data_axis=data_axis,
+            )
             return acc + jnp.sum(out).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))

@@ -260,25 +260,32 @@ def test_forced_pallas_multidevice_without_mesh_warns(monkeypatch):
         assert forced._block1_mode(6, 321, 321, True) == "pallas"
 
 
-def _dp_mesh():
+def _dp_mesh(shape=(2, 1)):
     import numpy as _np
     from jax.sharding import Mesh
 
     n = len(jax.devices())
-    if n < 2:
-        pytest.skip("needs >=2 (fake) devices")
-    return Mesh(_np.asarray(jax.devices()[:2]).reshape(2, 1),
+    need = int(_np.prod(shape))
+    if n < need:
+        pytest.skip(f"needs >={need} (fake) devices")
+    return Mesh(_np.asarray(jax.devices()[:need]).reshape(shape),
                 ("data", "model"))
 
 
-def test_block1_fused_dp_matches_direct():
+@pytest.mark.parametrize(
+    "mesh_shape", [(2, 1), (1, 2)], ids=["dp2", "tp2only"]
+)
+def test_block1_fused_dp_matches_direct(mesh_shape):
     """shard_map composition: forward AND all four parameter cotangents
     of block1_fused_dp (dp2 mesh) match the unsharded kernel to f32
     reduction-order tolerance — including the psum over the data axis
-    that shard_map's transpose inserts for the replicated weights."""
+    that shard_map's transpose inserts for the replicated weights.
+    The tp2only arm pins the data-axis-size-1 contract (can_shard NOTE
+    in models/deeplab.py): replicated input, kernel runs whole-batch on
+    every model-chip, results identical."""
     from em_adapt_tpu.ops.block1_pallas import block1_fused_dp
 
-    mesh = _dp_mesh()
+    mesh = _dp_mesh(mesh_shape)
     rng = np.random.default_rng(8)
     x = jnp.asarray(rng.normal(size=(4, 17, 17, 3)), jnp.float32)
     p = _params(rng, 3, 8)

@@ -119,8 +119,17 @@ def _mesh(shape, names):
 
 @pytest.mark.parametrize(
     "shape,names",
-    [((2,), ("data",)), ((2, 2), ("data", "space")), ((2, 2, 2), ("data", "space", "model"))],
-    ids=["dp2", "dp2xsp2", "dp2xsp2xtp2"],
+    [
+        ((2,), ("data",)),
+        ((2, 2), ("data", "space")),
+        ((2, 2, 2), ("data", "space", "model")),
+        # TP-only: a data axis of size 1 still shard_maps (replicated
+        # input -> every model-chip runs the full local batch, the same
+        # redundancy the XLA path would have) — see the can_shard NOTE
+        # in ops/estep.py.
+        ((1, 2), ("data", "model")),
+    ],
+    ids=["dp2", "dp2xsp2", "dp2xsp2xtp2", "tp2only"],
 )
 def test_pallas_sharded_matches_oracle(rng, shape, names):
     """The shard_map-composed kernel (ops/estep.py::_estep_pallas_dp) on a

@@ -144,3 +144,46 @@ def test_fit_watchdog_fires_below_log_cadence(rng, tmp_path):
     # below the (10^6) log cadence — the log_fn never even fired
     assert not steps_ran
     trainer.checkpointer.close()
+
+
+def test_fit_watchdog_checks_final_dispatch(rng, tmp_path):
+    """Round-3 review finding: the in-loop watchdog inspects the PREVIOUS
+    dispatch, so a NaN on the LAST dispatch of a run escaped it entirely
+    and the poisoned state was checkpointed as "norm" by the CLI. fit()
+    now runs a final health check after the loop: a 2-step run whose
+    second (final) batch is NaN must raise, not return."""
+    from em_adapt_tpu.config import (
+        CheckpointConfig,
+        EStepConfig,
+        ExperimentConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8),
+        estep=EStepConfig(num_iter=2),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0,
+                          log_every_steps=10**6),
+        checkpoint=CheckpointConfig(save_dir=str(tmp_path / "saver"),
+                                    save_every_steps=10**6, async_save=False),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=100)
+    state = trainer.init_state()
+
+    def batches():
+        step = 0
+        while True:
+            img = rng.normal(size=(8, 33, 33, 3)).astype(np.float32) * 20
+            if step == 1:  # the FINAL dispatch of the 2-step run
+                img[:] = np.nan
+            lab = rng.integers(0, 4, size=(8, 33, 33, 1)).astype(np.float32)
+            yield {"image": img, "label": lab}
+            step += 1
+
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer.fit(state, batches(), num_steps=2)
+    trainer.checkpointer.close()

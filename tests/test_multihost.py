@@ -55,3 +55,32 @@ def test_two_process_train_matches_single_process(tmp_path):
     assert os.path.isdir(best) and any(
         p.isdigit() for p in os.listdir(best)
     )
+
+
+def test_launch_retry_keeps_logs_on_final_failure(tmp_path, monkeypatch, capsys):
+    """Round-3 review finding: when every retry fails, launch() must NOT
+    delete the workdir (the raised error references the per-process logs
+    in it) and must not print a retry line for a retry that never runs."""
+    import tools.multihost_dryrun as md
+
+    workdir = tmp_path / "wd"
+    calls = []
+
+    def fake_launch_once(*a, **kw):
+        # like the real _launch_once: (re)creates the workdir and writes
+        # per-process logs before failing
+        calls.append(1)
+        workdir.mkdir(exist_ok=True)
+        (workdir / "proc1.log").write_text("gloo: Connect timeout\n")
+        err = RuntimeError("Gloo context initialization failed")
+        err.gloo_timeout = True
+        raise err
+
+    monkeypatch.setattr(md, "_launch_once", fake_launch_once)
+    with pytest.raises(RuntimeError, match="Gloo"):
+        md.launch(num_processes=2, retries=1, workdir=str(workdir))
+    assert len(calls) == 2  # first attempt + 1 retry
+    # the final attempt's logs survive for diagnosis
+    assert (workdir / "proc1.log").exists()
+    err_out = capsys.readouterr().err
+    assert err_out.count("retry") == 1 and "retry 1/1" in err_out

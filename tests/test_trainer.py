@@ -417,6 +417,57 @@ def test_warm_start_params_only(rng, tmp_path):
     trainer.checkpointer.close()
 
 
+def test_warm_start_across_optimizer_change(rng, tmp_path):
+    """Round-3 review finding: --warm-start must work when the NEW run's
+    optimizer config differs from the checkpointed run's (reference
+    model_path loads weights into a fresh session regardless of the
+    optimizer, deeplab.py:229-234). Changing accum_steps changes the
+    MultiSteps opt_state tree, so the template-driven restore fails and
+    the params-only fallback (CheckpointManager.restore_saved) must
+    graft the weights instead."""
+    ckpt_cls = ExperimentConfig().checkpoint.__class__
+    cfg1 = tiny_cfg(
+        checkpoint=ckpt_cls(save_dir=str(tmp_path / "saver"),
+                            save_every_steps=10**6, async_save=False),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+    )
+    trainer = Trainer(cfg1, steps_per_epoch=3)
+    state = trainer.init_state()
+    b = trainer.plan.shard_batch(
+        {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    )
+    for _ in range(2):
+        state, _ = trainer.train_step(state, b)
+    trainer.checkpointer.save(state, tag="norm")
+    trainer.checkpointer.wait()
+    trained_params = jax.device_get(state.params)
+
+    # New run: accum_steps 1 -> 2 reshapes the MultiSteps slots.
+    cfg2 = cfg1.replace(
+        optim=OptimConfig(accum_steps=2, lr_schedule=()),
+        checkpoint=ckpt_cls(save_dir=str(tmp_path / "saver2"),
+                            save_every_steps=10**6, async_save=False),
+    )
+    trainer2 = Trainer(cfg2, steps_per_epoch=3)
+    fresh = trainer2.init_state()
+    warm = trainer2.warm_start(fresh, str(tmp_path / "saver"))
+    jax.tree.map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), np.asarray(c)),
+        jax.device_get(warm.params), trained_params,
+    )
+    assert int(jax.device_get(warm.step)) == 0
+    # optimizer slots are the NEW config's fresh slots
+    jax.tree.map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), np.asarray(c)),
+        jax.device_get(warm.opt_state), jax.device_get(fresh.opt_state),
+    )
+    warm, m = trainer2.train_step(warm, b)
+    assert np.isfinite(float(jax.device_get(m["loss"])))
+    trainer.checkpointer.close()
+    trainer2.checkpointer.close()
+
+
 def test_parse_warm_start_spec():
     from em_adapt_tpu.cli import _parse_warm_start
 

@@ -349,7 +349,7 @@ def main(argv=None) -> int:
                          "the adaptive bias must beat")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--seeds", type=int, default=3,
+    ap.add_argument("--seeds", type=int, default=5,
                     help="weak/ablation: number of seeds (EM from random "
                          "init is bistable — see run_rehearsal; the "
                          "artifact is best-of-N with every seed recorded)")

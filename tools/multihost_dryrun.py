@@ -76,6 +76,10 @@ def launch(
             if num_processes <= 1 or not getattr(e, "gloo_timeout", False):
                 raise
             last_err = e
+            if attempt == retries:
+                # Out of retries: keep the workdir so the per-process
+                # logs the raised error references still exist on disk.
+                break
             if workdir is not None and os.path.isdir(workdir):
                 # fresh workdir per attempt: stale orbax step dirs from
                 # the failed run must not collide with the retry's saves
