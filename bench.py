@@ -77,12 +77,28 @@ def main() -> None:
     state, metrics = trainer.macro_step(state, macro_batch)
     float(jax.device_get(metrics["loss"]))
 
-    n = 3  # macro dispatches = 30 steps
-    t0 = time.perf_counter()
+    # Pipelined timing, the production pattern (Trainer.fit's watchdog):
+    # dispatch i+1 is enqueued BEFORE dispatch i's scalar is fetched, so
+    # the relay round trip overlaps device compute instead of
+    # serializing between dispatches (round 2 fetched after every
+    # dispatch, charging ~one relay round trip per 10 steps to the
+    # step time). Inter-completion intervals are per-dispatch durations
+    # at queue depth 1; the median rejects relay jitter outliers.
+    n = 6  # timed macro dispatches = 60 steps
+    times = []
+    prev = None
+    t_last = time.perf_counter()
     for _ in range(n):
         state, metrics = trainer.macro_step(state, macro_batch)
-        float(jax.device_get(metrics["loss"]))  # scalar sync per dispatch
-    dt = (time.perf_counter() - t0) / (n * K)
+        if prev is not None:
+            float(jax.device_get(prev["loss"]))  # sync: prev dispatch done
+            now = time.perf_counter()
+            times.append(now - t_last)
+            t_last = now
+        prev = metrics
+    float(jax.device_get(prev["loss"]))
+    times.append(time.perf_counter() - t_last)
+    dt = sorted(times)[len(times) // 2] / K
 
     ips_per_chip = batch / dt / n_dev
     print(

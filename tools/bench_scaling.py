@@ -50,12 +50,25 @@ def main() -> None:
         mb = tuple([sb] * args.macro)
         state, m = trainer.macro_step(state, mb)
         float(jax.device_get(m["loss"]))
-        n = 2
-        t0 = time.perf_counter()
+        # Pipelined sync (same protocol as bench.py round 3): fetch the
+        # PREVIOUS dispatch's scalar after enqueuing the next, median of
+        # the inter-completion intervals — the relay round trip overlaps
+        # compute instead of serializing between dispatches.
+        n = 4
+        times = []
+        prev = None
+        t_last = time.perf_counter()
         for _ in range(n):
             state, m = trainer.macro_step(state, mb)
-            float(jax.device_get(m["loss"]))
-        dt = (time.perf_counter() - t0) / (n * args.macro)
+            if prev is not None:
+                float(jax.device_get(prev["loss"]))
+                now = time.perf_counter()
+                times.append(now - t_last)
+                t_last = now
+            prev = m
+        float(jax.device_get(prev["loss"]))
+        times.append(time.perf_counter() - t_last)
+        dt = sorted(times)[len(times) // 2] / args.macro
         print(json.dumps({
             "batch_per_chip": batch // n_dev,
             "remat": args.remat,
