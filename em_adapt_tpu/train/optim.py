@@ -43,6 +43,26 @@ def lr_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     return optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
 
 
+def lr_at(cfg: OptimConfig, steps_per_epoch: int, step: int) -> float:
+    """Host-side evaluation of :func:`lr_schedule` at ``step`` — pure
+    Python floats, no device dispatch.
+
+    Exists for the train loop's log records: calling the optax schedule
+    with a Python int executes a jnp graph eagerly on the default
+    device, which on a remote-TPU relay costs a round trip per log and
+    a full jit compile on the FIRST log (measured ~12 s through the
+    relay — it landed inside the throughput window and distorted the
+    next window's images/sec). Matches optax.piecewise_constant_schedule
+    semantics: a boundary's value applies from ``step >= boundary``
+    (pinned against the optax schedule by test_lr_host_matches_optax).
+    """
+    lr = float(cfg.base_lr)
+    for epoch, val in sorted(cfg.lr_schedule):
+        if step >= epoch * steps_per_epoch:
+            lr = float(val)
+    return lr
+
+
 def _lr_group(path: tuple, _) -> str:
     """Classify a param leaf into its Caffe LR group.
 

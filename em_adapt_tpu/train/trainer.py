@@ -27,7 +27,7 @@ from em_adapt_tpu.config import ExperimentConfig
 from em_adapt_tpu.ops.estep import estep_labels, make_class_orders
 from em_adapt_tpu.ops.resize import resize_nearest_tf
 from em_adapt_tpu.parallel.mesh import MeshPlan, make_mesh
-from em_adapt_tpu.train.optim import build_optimizer
+from em_adapt_tpu.train.optim import build_optimizer, lr_at
 from em_adapt_tpu.train.state import TrainState
 
 
@@ -548,10 +548,18 @@ class Trainer:
                         m.update(
                             step=step_idx,
                             epoch=step_idx / self.steps_per_epoch,
-                            # LR of the last EXECUTED step (sched(step_idx)
+                            # LR of the last EXECUTED step (step_idx
                             # would report the next window's LR and place
                             # drops one log window early in the JSONL).
-                            lr=float(self.sched(step_idx - 1)),
+                            # Host-side math (optim.lr_at): calling the
+                            # optax schedule eagerly dispatches to the
+                            # device — a relay round trip per log and a
+                            # ~12 s first-log compile that polluted the
+                            # throughput window.
+                            lr=lr_at(
+                                cfg.optim, self.steps_per_epoch,
+                                step_idx - 1,
+                            ),
                             images_per_sec=(n_done - n_window)
                             * cfg.train.batch_size
                             / (now - t_window),
@@ -570,6 +578,10 @@ class Trainer:
                     if score > self._best_metric:
                         self._best_metric = score
                         self.checkpointer.save(state, tag="best")
+                    # Eval is synchronous host work; restart the
+                    # throughput window so the NEXT log's images/sec
+                    # reports step throughput, not steps+eval.
+                    t_window, n_window = time.time(), n_done
                 if (
                     prev_idx // cfg.checkpoint.save_every_steps
                     < step_idx // cfg.checkpoint.save_every_steps

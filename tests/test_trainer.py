@@ -53,6 +53,24 @@ def test_lr_schedule_matches_reference_drops():
     assert float(sched(3000)) == pytest.approx(1e-6, rel=1e-4)
 
 
+def test_lr_host_matches_optax():
+    """optim.lr_at (host-side, used by the train-loop log records) must
+    agree with the optax schedule at every step, including the exact
+    boundary steps (optax applies a boundary's value from count >=
+    boundary)."""
+    from em_adapt_tpu.train.optim import lr_at
+
+    cfg = OptimConfig()  # drops at epochs 10/20/30
+    sched = lr_schedule(cfg, steps_per_epoch=7)
+    for step in list(range(0, 250, 13)) + [69, 70, 71, 139, 140, 141, 210]:
+        assert lr_at(cfg, 7, step) == pytest.approx(
+            float(sched(step)), rel=1e-6
+        ), step
+    # empty schedule (rehearsals run constant LR)
+    cfg2 = OptimConfig(lr_schedule=())
+    assert lr_at(cfg2, 7, 123) == pytest.approx(cfg2.base_lr)
+
+
 def test_lr_drop_fires_at_right_microstep_inside_multisteps():
     """Regression: with the schedule inside MultiSteps, a drop at microbatch
     step S must affect the accumulated update emitted at/after S — not
