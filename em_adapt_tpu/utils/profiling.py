@@ -34,17 +34,20 @@ def measure_estep_us_per_image(
     estep_cfg,
     batch_size: int,
     *,
-    iters: int = 10,
+    iters: int = 100,
     warmup: int = 2,
     mesh=None,
     data_axis: str = "data",
 ) -> float:
     """Measure the deployed E-step implementation at the run's score-map
     shape, in µs/image — the BASELINE.md metric (reference estep is
-    38.7 ms/img numpy on CPU). Timed with the relay-safe protocol: the
-    output is reduced to a scalar IN-graph and fetched per iteration
-    (block_until_ready does not sync through the axon relay). One fresh
-    jit (persistently cached across invocations).
+    38.7 ms/img numpy on CPU). Relay-safe SLOPE protocol (same as
+    tools/bench_estep.py round 3): chains of ``iters`` and ``2*iters``
+    in-graph iterations are each timed with one scalar fetch, and the
+    difference per iteration cancels the constant per-dispatch relay
+    round trip that otherwise dominates at this op size (a single-chain
+    measurement read ~580 µs/img where the device compute is ~60).
+    Two jits (persistently cached across invocations).
 
     Pass the run's ``mesh``/``data_axis`` (the trainer threads them into
     ``estep_labels``) so the measurement exercises the SAME impl choice
@@ -66,26 +69,28 @@ def measure_estep_us_per_image(
     )
     orders = make_class_orders(key, estep_cfg.num_iter, c)
 
-    @jax.jit
-    def run(scores, label, orders):
-        # iterations chained in-graph (iteration-dependent input defeats
-        # CSE) so the per-dispatch relay floor amortizes over `iters`
-        # — same protocol as tools/bench_estep.py.
-        def body(i, acc):
-            out = estep_labels(
-                scores + acc * 1e-20, label, orders, estep_cfg,
-                mesh=mesh, data_axis=data_axis,
-            )
-            return acc + jnp.sum(out).astype(jnp.float32)
+    def time_chain(n: int) -> float:
+        @jax.jit
+        def run(scores, label, orders):
+            # iterations chained in-graph (iteration-dependent input
+            # defeats CSE), scalar reduced in-graph, one fetch.
+            def body(i, acc):
+                out = estep_labels(
+                    scores + acc * 1e-20, label, orders, estep_cfg,
+                    mesh=mesh, data_axis=data_axis,
+                )
+                return acc + jnp.sum(out).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    for _ in range(warmup):
+        for _ in range(warmup):
+            float(run(scores, label, orders))
+        t0 = time.perf_counter()
         float(run(scores, label, orders))
-    t0 = time.perf_counter()
-    float(run(scores, label, orders))
-    dt = (time.perf_counter() - t0) / iters
-    return dt / batch_size * 1e6
+        return time.perf_counter() - t0
+
+    dt = (time_chain(2 * iters) - time_chain(iters)) / iters
+    return max(dt, 0.0) / batch_size * 1e6
 
 
 class StepTimer:

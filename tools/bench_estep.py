@@ -7,7 +7,13 @@ batch-tiled kernel now covers it). Prints one JSON line per
 (batch, impl).
 
 Relay-safe timing: iterations chained in-graph via fori_loop with an
-iteration-dependent input, scalar reduced, float()'d once.
+iteration-dependent input, scalar reduced, float()'d once. SLOPE
+protocol (round 3): a single chain of N iterations still carries the
+per-dispatch relay round trip (~30 ms on this rig) amortized over N —
+at 41x41 that CONSTANT dominated the reported number (round 2's
+"312 us/img at batch 6" was ~80% dispatch). Timing chains of N and 2N
+and reporting (T(2N)-T(N))/N cancels the constant exactly, leaving pure
+device compute per iteration.
 
 Usage: python tools/bench_estep.py [--batches 6,24,96] [--iters 20]
 """
@@ -24,7 +30,10 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="6,24,96")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=200,
+                    help="slope baseline chain length; 2x is also timed "
+                         "(large enough that per-iter compute, not relay "
+                         "jitter, dominates the difference)")
     args = ap.parse_args()
 
     import jax
@@ -51,18 +60,22 @@ def main() -> None:
         )
         for name, fn in (("pallas", estep_pallas), ("xla_sort", estep)):
 
-            def loop(scores, label, orders, fn=fn):
-                def body(i, acc):
-                    out = fn(scores + acc * 1e-20, label, orders)
-                    return acc + jnp.sum(out)
+            def time_chain(n, fn=fn):
+                def loop(scores, label, orders):
+                    def body(i, acc):
+                        out = fn(scores + acc * 1e-20, label, orders)
+                        return acc + jnp.sum(out)
 
-                return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+                    return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-            jl = jax.jit(loop)
-            float(jl(scores, label, orders))  # compile + warm
-            t0 = time.perf_counter()
-            float(jl(scores, label, orders))
-            dt = (time.perf_counter() - t0) / args.iters
+                jl = jax.jit(loop)
+                float(jl(scores, label, orders))  # compile + warm
+                t0 = time.perf_counter()
+                float(jl(scores, label, orders))
+                return time.perf_counter() - t0
+
+            # slope: per-iteration device time, dispatch constant cancelled
+            dt = (time_chain(2 * args.iters) - time_chain(args.iters)) / args.iters
             print(
                 json.dumps(
                     {
