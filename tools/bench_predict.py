@@ -1,8 +1,10 @@
 """Serving-path throughput: jitted predict (logits -> TF1-exact bilinear
 upsample to input resolution -> argmax) on the production model.
 
-Prints one JSON line per batch size. Relay-safe timing (in-graph
-fori-loop, scalar out).
+Prints one JSON line per batch size. Relay-safe SLOPE timing (round 3,
+same as tools/bench_estep.py): chains of N and 2N in-graph iterations,
+the difference per iteration cancels the constant per-dispatch relay
+round trip (~30 ms on this rig — ~9% of a batch-6 dispatch).
 
 Usage: python tools/bench_predict.py [--batches 6,24] [--iters 20]
 """
@@ -37,18 +39,21 @@ def main() -> None:
     for b in [int(x) for x in args.batches.split(",")]:
         x = jnp.asarray((g.normal(size=(b, 321, 321, 3)) * 40), jnp.float32)
 
-        def loop(x, params):
+        def loop(x, params, n):
             def body(i, acc):
                 _, pred = model.predict(params, x + acc * 1e-20)
                 return acc + jnp.sum(pred).astype(jnp.float32)
 
-            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        jl = jax.jit(loop)
-        float(jl(x, params))
-        t0 = time.perf_counter()
-        float(jl(x, params))
-        dt = (time.perf_counter() - t0) / args.iters
+        def time_chain(n):
+            jl = jax.jit(lambda x, params: loop(x, params, n))
+            float(jl(x, params))  # compile + warm
+            t0 = time.perf_counter()
+            float(jl(x, params))
+            return time.perf_counter() - t0
+
+        dt = (time_chain(2 * args.iters) - time_chain(args.iters)) / args.iters
         print(json.dumps({
             "batch": b,
             "ms_per_batch": round(dt * 1e3, 2),
