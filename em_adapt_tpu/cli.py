@@ -348,7 +348,12 @@ def cmd_eval(args) -> int:
     state = trainer.init_state()
     latest = trainer.checkpointer.latest_step("norm")
     if latest is not None:
-        state = trainer.restore_state()
+        # Params-only restore (warm_start machinery): inference does not
+        # need optimizer slots, so a checkpoint written under a DIFFERENT
+        # optimizer config (e.g. a rehearsal run with accum_steps=1)
+        # loads fine — the full-state template restore would fail on the
+        # opt_state tree mismatch.
+        state = trainer.warm_start(state, cfg.checkpoint.save_dir)
         print(f"evaluating checkpoint step {latest}")
     else:
         print("no checkpoint found; evaluating fresh init")
@@ -415,7 +420,12 @@ def cmd_predict(args) -> int:
     state = trainer.init_state()
     latest = trainer.checkpointer.latest_step("norm")
     if latest is not None:
-        state = trainer.restore_state()
+        # Params-only restore (warm_start machinery): inference does not
+        # need optimizer slots, so a checkpoint written under a DIFFERENT
+        # optimizer config (e.g. a rehearsal run with accum_steps=1)
+        # loads fine — the full-state template restore would fail on the
+        # opt_state tree mismatch.
+        state = trainer.warm_start(state, cfg.checkpoint.save_dir)
         print(f"using checkpoint step {latest}")
     else:
         print("warning: no checkpoint found; predicting with fresh init")
@@ -471,7 +481,12 @@ def cmd_export(args) -> int:
     state = trainer.init_state()
     latest = trainer.checkpointer.latest_step("norm")
     if latest is not None:
-        state = trainer.restore_state()
+        # Params-only restore (warm_start machinery): inference does not
+        # need optimizer slots, so a checkpoint written under a DIFFERENT
+        # optimizer config (e.g. a rehearsal run with accum_steps=1)
+        # loads fine — the full-state template restore would fail on the
+        # opt_state tree mismatch.
+        state = trainer.warm_start(state, cfg.checkpoint.save_dir)
         print(f"exporting checkpoint step {latest}")
     else:
         print("warning: no checkpoint found; exporting fresh init")

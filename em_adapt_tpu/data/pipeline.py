@@ -315,6 +315,7 @@ class DevicePrefetcher:
         self._plan = plan
         self._done = object()
         self._stop = False
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -344,6 +345,12 @@ class DevicePrefetcher:
                         break
                     except self._queue_mod.Full:
                         continue
+        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+            # A decode/augment/shard error must surface in the CONSUMER:
+            # swallowing it here would deliver the end-of-data sentinel
+            # and the train loop would stop cleanly as if the dataset
+            # were exhausted — silently checkpointing a partial run.
+            self._error = e
         finally:
             # The sentinel MUST be delivered (or the consumer blocks in
             # get() forever once the queue drains) — retry past a
@@ -361,6 +368,11 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise RuntimeError(
+                    "DevicePrefetcher: the fill thread died on an error "
+                    "in the source pipeline (decode/augment/shard)"
+                ) from self._error
             raise StopIteration
         return item
 

@@ -69,6 +69,23 @@ class ConfusionAccumulator:
         if self._pending >= self.flush_every:
             self._flush()
 
+    def update_host(self, pred: np.ndarray, gt: np.ndarray) -> None:
+        """Host-side accumulation for DYNAMIC-shape inputs (the exact-VOC
+        per-image path): the jitted ``confusion_matrix`` retraces per
+        input shape, and VOC val has hundreds of distinct original image
+        sizes — each a fresh XLA compile (minutes each on a remote TPU).
+        Same semantics as :func:`confusion_matrix` (gt >= num_classes is
+        void and ignored), accumulated straight into the int64 host
+        total."""
+        pred = np.asarray(pred).reshape(-1).astype(np.int64)
+        gt = np.asarray(gt).reshape(-1).astype(np.int64)
+        valid = gt < self.num_classes
+        counts = np.bincount(
+            gt[valid] * self.num_classes + pred[valid],
+            minlength=self.num_classes * self.num_classes,
+        )
+        self._host += counts.reshape(self.num_classes, self.num_classes)
+
     def result(self) -> tuple[float, np.ndarray]:
         self._flush()
         return miou_from_confusion(self._host)

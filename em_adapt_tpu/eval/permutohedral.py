@@ -63,11 +63,14 @@ def _load():
 
 
 def available() -> bool:
-    """True if the native library can be loaded/built on this host."""
+    """True if the native library can be loaded/built on this host.
+    AttributeError covers a stale/incompatible .so that CDLL loads but
+    that lacks the expected symbols — the dense_crf "auto" fallback to
+    the bilateral grid must engage there too, not crash."""
     try:
         _load()
         return True
-    except (OSError, subprocess.CalledProcessError):
+    except (OSError, subprocess.CalledProcessError, AttributeError):
         return False
 
 

@@ -22,7 +22,6 @@ import numpy as np
 
 from em_adapt_tpu.config import EvalConfig, ExperimentConfig
 from em_adapt_tpu.eval.miou import ConfusionAccumulator
-from em_adapt_tpu.ops.resize import resize_bilinear_tf
 
 
 class Evaluator:
@@ -74,12 +73,22 @@ class Evaluator:
         from concurrent.futures import ThreadPoolExecutor
 
         def _post(lg, raw_img, raw_label):
+            # Pure HOST compute (round-3 review finding): the previous
+            # version ran the upsample and softmax eagerly on the default
+            # device with per-image dynamic shapes — a fresh compile per
+            # distinct VOC image size plus two ~16 MB round trips per
+            # image through the relay. resize_bilinear_np is the exact
+            # TF1-grid twin of ops/resize.py (golden-tested), and the
+            # softmax is 3 lines of numpy.
+            from em_adapt_tpu.data.augment import resize_bilinear_np
+
             oh, ow = raw_label.shape[:2]
-            up = np.asarray(resize_bilinear_tf(jnp.asarray(lg), (oh, ow)))
+            up = resize_bilinear_np(np.asarray(lg, np.float32), (oh, ow))
             if use_crf:
                 from em_adapt_tpu.eval.crf import dense_crf
 
-                probs = np.asarray(jax.nn.softmax(jnp.asarray(up), axis=-1))
+                e = np.exp(up - up.max(axis=-1, keepdims=True))
+                probs = e / e.sum(axis=-1, keepdims=True)
                 up = np.asarray(dense_crf(probs, raw_img, eval_cfg))
             return up.argmax(-1)
 
@@ -89,9 +98,18 @@ class Evaluator:
         def flush(pool):
             if not pend_imgs:
                 return
-            imgs = jnp.asarray(np.stack(pend_imgs))
-            logits = jax.device_get(self._jit_logits(params, imgs))
-            for lg, (raw_img, raw_label) in zip(logits, pend_raw):
+            n = len(pend_imgs)
+            stack = np.stack(pend_imgs)
+            if n < bs:
+                # Pad the tail chunk to the full batch shape: a smaller
+                # final batch would retrace _jit_logits — a fresh
+                # multi-minute remote compile for one leftover shape
+                # (same rationale as pipeline.py's pad_remainder).
+                stack = np.concatenate(
+                    [stack, np.zeros((bs - n,) + stack.shape[1:], stack.dtype)]
+                )
+            logits = jax.device_get(self._jit_logits(params, jnp.asarray(stack)))
+            for lg, (raw_img, raw_label) in zip(logits[:n], pend_raw):
                 futures.append(
                     (pool.submit(_post, lg, raw_img, raw_label), raw_label)
                 )
@@ -101,12 +119,25 @@ class Evaluator:
         def drain(keep: int):
             # bound in-flight results (a full val set of prediction maps
             # would hold ~0.7 GB); order does not matter to the confusion
-            # sum, but FIFO keeps the oldest from pinning memory
+            # sum, but FIFO keeps the oldest from pinning memory.
+            # update_host: per-image ORIGINAL shapes are all distinct —
+            # the jitted device accumulator would recompile per shape.
             while len(futures) > keep:
                 fut, raw_label = futures.pop(0)
-                acc.update(jnp.asarray(fut.result()), jnp.asarray(raw_label))
+                acc.update_host(fut.result(), raw_label)
 
         workers = max(1, eval_cfg.crf_workers if use_crf else 2)
+        if use_crf:
+            from em_adapt_tpu.eval.permutohedral import available
+
+            if not available():
+                # The bilateral-grid fallback allocates a dense 5-D grid
+                # whose size is data-dependent (~250 MB for a typical VOC
+                # image at the reference srgb=5) — running several in
+                # parallel threads multiplies that peak. The native
+                # lattice streams (and releases the GIL); the fallback
+                # runs serial.
+                workers = 1
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for i in range(len(dataset)):
                 raw_img, raw_label = dataset.load_raw(i)

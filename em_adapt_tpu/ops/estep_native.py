@@ -48,8 +48,8 @@ def _load():
                 ctypes.c_int32,  # num_iter
                 ctypes.c_int32,  # suppress
                 ctypes.c_float,  # margin
-                ctypes.c_float,  # bg_p
-                ctypes.c_float,  # fg_p
+                ctypes.c_double,  # bg_p (double: k = int(HW*p) must
+                ctypes.c_double,  # fg_p  truncate exactly like the oracle)
             ]
             _lib = lib
     return _lib

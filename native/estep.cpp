@@ -52,12 +52,17 @@ extern "C" {
 // labels:  [B, H, W] int32 ground-truth ids (255 = ignore; any id >= C is
 //          dropped after a uint8-style wrap, matching the python cast)
 // orders:  [num_iter, C-1] int32 foreground visit order (values 1..C-1)
+// bg_p/fg_p: percentile fractions in [0, 1); passed as DOUBLE so the
+//          k = int(HW * p) truncation matches the python oracle bit-for-
+//          bit (a float32-narrowed p can land the product on the other
+//          side of an integer boundary and shift k by 1 — breaking the
+//          pixel-identical argmax contract, ops/estep_oracle.py:116-117).
 // Returns 0 on success, nonzero on invalid arguments.
 int emadapt_estep(const float* scores, float* out, const int32_t* labels,
                   int32_t B, int32_t H, int32_t W, int32_t C,
                   const int32_t* orders, int32_t num_iter,
-                  int32_t suppress_others, float margin_others, float bg_p,
-                  float fg_p) {
+                  int32_t suppress_others, float margin_others, double bg_p,
+                  double fg_p) {
   if (!scores || !out || !labels || !orders) return 1;
   if (B <= 0 || H <= 0 || W <= 0 || C <= 1 || num_iter < 0) return 2;
 
@@ -103,6 +108,11 @@ int emadapt_estep(const float* scores, float* out, const int32_t* labels,
 
   const int64_t k_bg = int64_t(double(HW) * bg_p);
   const int64_t k_fg = int64_t(double(HW) * fg_p);
+  // Percentiles must leave k strictly inside the buffer: diff[k] is read
+  // after nth_element, so k == HW (bg_p >= 1.0) would be an
+  // out-of-bounds heap read and nth > end() is UB. The oracle's
+  // np.partition(d, k) raises for the same inputs.
+  if (bg_p < 0.0 || fg_p < 0.0 || k_bg >= HW || k_fg >= HW) return 4;
 
   // Validate the visit schedule up front (clean error instead of UB).
   for (int64_t i = 0; i < int64_t(num_iter) * (C - 1); ++i)

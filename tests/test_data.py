@@ -214,6 +214,34 @@ def test_device_prefetcher_roundtrip_and_close():
     assert not pf2._thread.is_alive()
 
 
+def test_device_prefetcher_propagates_source_errors():
+    """Round-3 review finding: an exception in the source pipeline
+    (corrupt image decode, shard failure) killed the fill thread, whose
+    finally block delivered the normal end-of-data sentinel — the train
+    loop stopped cleanly as if the dataset were exhausted and a partial
+    run was checkpointed with exit code 0. The error must surface in the
+    consumer."""
+    from em_adapt_tpu.data.pipeline import DevicePrefetcher
+    from em_adapt_tpu.parallel.mesh import make_mesh
+
+    ds = SyntheticVOC(n=16, seed=3)
+    cfg = DataConfig(input_size=(33, 33), num_workers=2)
+    good = list(batch_iterator(ds, cfg, batch_size=8, seed=5, epochs=1,
+                               train=True))
+
+    def broken():
+        yield good[0]
+        raise OSError("truncated JPEG")
+
+    pf = DevicePrefetcher(broken(), make_mesh(), depth=2)
+    got = [next(pf)]
+    with pytest.raises(RuntimeError, match="fill thread died") as ei:
+        while True:
+            got.append(next(pf))
+    assert isinstance(ei.value.__cause__, OSError)
+    assert len(got) == 1
+
+
 def test_jpeg_decoder_parity_vs_tf():
     """Quantify PIL-vs-TF JPEG decode drift (SURVEY §7 flag; the reference
     decodes with tf.io.decode_image, reference dataset.py:118-124; our

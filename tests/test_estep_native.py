@@ -88,6 +88,48 @@ def test_native_rejects_bad_args():
     bad = np.full((2, 2), 99, np.int32)
     with pytest.raises(RuntimeError):
         estep_native(scores, label, bad, num_iter=2)
+    # percentiles that put k out of the buffer -> clean error, not an
+    # out-of-bounds diff[k] read (round-3 review finding)
+    ok_orders = np.tile(np.arange(1, 3, dtype=np.int32), (2, 1))
+    for kw in ({"bg_p": 1.0}, {"fg_p": 1.5}, {"bg_p": -0.1}):
+        with pytest.raises(RuntimeError):
+            estep_native(scores, label, ok_orders, num_iter=2, **kw)
+
+
+def test_native_percentile_truncation_matches_oracle(rng):
+    """bg_p/fg_p cross the ABI as DOUBLE (round-3 review finding): a
+    float32-narrowed p can land HW*p on the other side of an integer
+    boundary and shift the selected order statistic by one. p = k/HW is
+    exactly representable in double but not in float32 for most k, so
+    this case catches a narrowing regression via the pixel-identical
+    contract."""
+    from em_adapt_tpu.ops.estep_native import estep_native
+    from em_adapt_tpu.ops.estep_oracle import estep_oracle
+
+    b, h, w, c = 2, 9, 9, 5
+    hw = h * w
+    scores = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    label = rng.integers(0, c, size=(b, h, w)).astype(np.int32)
+    orders = np.stack([rng.permutation(np.arange(1, c)) for _ in range(3)])
+    # k/HW for k where a float32-narrowed p truncates to k-1 (verified
+    # discriminating for hw=81: int(float(float32(k/81))*81) == k-1)
+    discriminating = [
+        k for k in (11, 13, 15, 17, 19)
+        if int(float(np.float32(k / hw)) * hw) != k
+    ]
+    assert discriminating, "no discriminating k for this hw — fix the test"
+    for k in discriminating:
+        p = k / hw
+        got = estep_native(
+            scores, label, orders.astype(np.int32), bg_p=p, fg_p=p,
+            num_iter=3,
+        )
+        want = estep_oracle(
+            scores, label.astype(np.float32), orders=orders, bg_p=p,
+            fg_p=p, num_iter=3,
+        )
+        np.testing.assert_array_equal(got.argmax(3), want.argmax(3))
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
 
 
 def test_native_under_asan(rng, tmp_path):

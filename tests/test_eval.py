@@ -68,6 +68,54 @@ def test_accumulator_chunked_flush_matches_direct():
     assert a._host.dtype == np.int64
 
 
+def test_accumulator_update_host_matches_device():
+    """update_host (used by the exact-VOC path, where per-image original
+    shapes would retrace the jitted confusion_matrix) must produce the
+    identical confusion totals, including void (>= C) masking."""
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.eval.miou import ConfusionAccumulator
+
+    g = np.random.default_rng(1)
+    pairs = [
+        (g.integers(0, 5, size=(h, w)),
+         np.where(g.uniform(size=(h, w)) < 0.2, 255,
+                  g.integers(0, 5, size=(h, w))))
+        for h, w in [(7, 9), (15, 4), (33, 33)]
+    ]
+    dev = ConfusionAccumulator(5)
+    host = ConfusionAccumulator(5)
+    for p, t in pairs:
+        dev.update(jnp.asarray(p), jnp.asarray(t))
+        host.update_host(p, t)
+    dev.result()
+    host.result()
+    np.testing.assert_array_equal(dev._host, host._host)
+
+
+def test_evaluator_voc_tail_batch_single_trace(rng):
+    """Round-3 review finding: a final partial chunk used to run
+    _jit_logits at the leftover batch shape — a fresh multi-minute
+    remote compile for one tail. The tail now pads to the full batch
+    shape: a dataset of 3 with batch_size 2 must complete with EXACTLY
+    one jit trace (and the result stays a valid mIoU — the pad rows are
+    dropped before post-processing)."""
+    from em_adapt_tpu.data.pipeline import SyntheticVOC
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.models import DeepLabLargeFOV
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8)
+    )
+    model = DeepLabLargeFOV(cfg.model)
+    params = model.init(jax.random.key(0))
+    ev = Evaluator(cfg, model)
+    ds = SyntheticVOC(n=3, num_classes=4, seed=2, category="val")
+    miou_tail, _ = ev.evaluate_voc(params, ds, use_crf=False, batch_size=2)
+    assert 0.0 <= miou_tail <= 1.0
+    assert ev._jit_logits._cache_size() == 1
+
+
 def test_evaluator_fixed_and_voc(rng):
     from em_adapt_tpu.data.pipeline import SyntheticVOC, batch_iterator
     from em_adapt_tpu.config import DataConfig
