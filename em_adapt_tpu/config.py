@@ -275,16 +275,44 @@ def apply_overrides(cfg: ExperimentConfig, overrides: Sequence[str]) -> Experime
     """Apply CLI 'dotted.key=value' overrides to a config tree."""
     import ast
 
+    keys = set()
     for item in overrides:
         key, _, raw = item.partition("=")
         if not _:
             raise ValueError(f"override {item!r} must look like key=value")
+        keys.add(key)
         try:
             value = ast.literal_eval(raw)
         except (ValueError, SyntaxError):
             value = raw  # bare string
         parts = key.split(".")
         cfg = _replace_path(cfg, parts, value)
+    # model.input_size and data.input_size describe the SAME quantity at
+    # two consumers (model trace shape vs pipeline resize target); a user
+    # overriding one would otherwise silently train at one resolution
+    # and eval/export at another. Overriding either syncs the other;
+    # overriding both to different values is an error.
+    if cfg.model.input_size != cfg.data.input_size:
+        m_set = "model.input_size" in keys
+        d_set = "data.input_size" in keys
+        if m_set and d_set:
+            raise ValueError(
+                f"model.input_size={cfg.model.input_size} and "
+                f"data.input_size={cfg.data.input_size} disagree — they "
+                "are the same quantity; set just one"
+            )
+        if m_set:
+            cfg = cfg.replace(
+                data=dataclasses.replace(
+                    cfg.data, input_size=cfg.model.input_size
+                )
+            )
+        elif d_set:
+            cfg = cfg.replace(
+                model=dataclasses.replace(
+                    cfg.model, input_size=cfg.data.input_size
+                )
+            )
     return cfg
 
 

@@ -215,17 +215,12 @@ class DeepLabLargeFOV:
             block1_vmem_ok,
         )
 
+        from em_adapt_tpu.parallel.mesh import shard_map_eligibility
+
         n_dev = jax.device_count()
-        n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
-        # NOTE n_data == 1 (e.g. a TP-only mesh) still qualifies: the
-        # batch is replicated there, so every chip runs the full-batch
-        # kernel — but that replication is the norm for unsharded compute
-        # (the XLA conv would run replicated too) and the kernel is the
-        # faster per-chip choice. The gate this function exists for is
-        # the OTHER case: data-SHARDED input with no mesh to shard_map
-        # over, where GSPMD would all-gather first.
-        can_shard = mesh is not None and mesh.size > 1 and b % n_data == 0
-        b_local = b // n_data if can_shard else b
+        # (incl. the data-axis-size-1 / TP-only contract — see the
+        # helper's NOTE)
+        can_shard, n_data, b_local = shard_map_eligibility(mesh, data_axis, b)
         if impl == "pallas":
             if not block1_supported(h, w):
                 raise ValueError(
@@ -261,6 +256,13 @@ class DeepLabLargeFOV:
             train
             and b_local <= self.FUSED_BLOCK1_MAX_BATCH
             and jax.default_backend() == "tpu"
+            # bf16 only: the kernel's strip intermediates are sized for a
+            # 2-byte compute dtype. Measured on v5e (round 3): the f32
+            # forward needs 100.85 MiB scoped VMEM (over the 100 MiB
+            # ceiling) and the f32 backward still OOMs at a 112 MiB
+            # ceiling — Mosaic compilation fails outright, so "auto"
+            # keeps XLA for float32 compute.
+            and self.cfg.compute_dtype == "bfloat16"
             and block1_vmem_ok()
             and (n_dev == 1 or can_shard)
             and block1_supported(h, w)

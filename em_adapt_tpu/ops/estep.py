@@ -237,15 +237,10 @@ def estep_labels(
     # only a single image too large for VMEM forces the XLA path.
     from em_adapt_tpu.ops.estep_pallas import batch_tile
 
+    from em_adapt_tpu.parallel.mesh import shard_map_eligibility
+
     n_dev = jax.device_count()
-    # shard_map eligibility: a mesh that spans >1 device whose data axis
-    # evenly divides the batch (each kernel instance sees b_local images).
-    n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
-    # n_data == 1 (TP-only mesh) still qualifies: replicated input ->
-    # replicated kernel, same redundancy the XLA sort path would have,
-    # but faster per chip (see models/deeplab.py::_block1_mode NOTE).
-    can_shard = mesh is not None and mesh.size > 1 and b % n_data == 0
-    b_local = b // n_data if can_shard else b
+    can_shard, n_data, b_local = shard_map_eligibility(mesh, data_axis, b)
     kw = dict(
         bg_p=cfg.bg_p,
         fg_p=cfg.fg_p,

@@ -138,6 +138,28 @@ class MeshPlan:
         return jax.device_put(tree, self.replicated())
 
 
+def shard_map_eligibility(
+    mesh, data_axis: str, batch: int
+) -> tuple[bool, int, int]:
+    """Whether a Pallas kernel can compose with ``mesh`` via shard_map
+    over its data axis: ``(can_shard, n_data, batch_per_shard)``.
+
+    Shared by the E-step and block1 kernel gates (ops/estep.py,
+    models/deeplab.py) so the eligibility rule cannot drift between
+    them. Eligible = a mesh that spans >1 device whose data axis evenly
+    divides the batch. NOTE a data axis of size 1 (e.g. a TP-only mesh)
+    still qualifies: the batch is replicated there, so every chip runs
+    the full-batch kernel — the same redundancy the XLA lowering would
+    have on replicated input, and the kernel is the faster per-chip
+    choice. The case the gates exist to AVOID is data-SHARDED input
+    with no mesh to shard_map over, where GSPMD (which has no
+    partitioning rule for a pallas custom-call) would all-gather the
+    batch and run the whole kernel redundantly on every chip."""
+    n_data = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
+    can_shard = mesh is not None and mesh.size > 1 and batch % n_data == 0
+    return can_shard, n_data, batch // n_data if can_shard else batch
+
+
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> MeshPlan:
     """Build the mesh. Axis size -1 absorbs all remaining devices."""
     cfg = cfg or MeshConfig()

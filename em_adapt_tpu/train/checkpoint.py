@@ -40,7 +40,18 @@ class CheckpointManager:
 
     def save(self, state, *, tag: str = "norm") -> None:
         step = int(jax.device_get(state.step))
-        self._manager(tag).save(step, args=ocp.args.StandardSave(state))
+        mgr = self._manager(tag)
+        if step in mgr.all_steps():
+            # Same step, same tag: the state is identical (the step
+            # counter advances inside the jitted step), so this is a
+            # legitimate re-save — a preemption signal landing right
+            # after a cadence save, the CLI's final save coinciding with
+            # a cadence boundary, or a resumed run re-crossing an LR
+            # drop it already snapshotted. orbax raises
+            # StepAlreadyExistsError for duplicates; skipping is the
+            # correct semantics, not a failure.
+            return
+        mgr.save(step, args=ocp.args.StandardSave(state))
 
     def restore(self, template, *, tag: str = "norm", step: int | None = None):
         """Restore into the structure of ``template`` (an abstract or

@@ -37,7 +37,12 @@ def lr_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     """
     boundaries = {}
     prev = cfg.base_lr
-    for epoch, lr in cfg.lr_schedule:
+    # sorted: the scale chain (each boundary's scale = lr / previous lr)
+    # is only correct in ascending epoch order — an unsorted override
+    # like ((20,1e-5),(10,1e-4)) would otherwise build a chain whose
+    # APPLIED lr between the drops is 10x the configured value while
+    # lr_at (host, sorted) logs the configured one.
+    for epoch, lr in sorted(cfg.lr_schedule):
         boundaries[epoch * steps_per_epoch] = lr / prev
         prev = lr
     return optax.piecewise_constant_schedule(cfg.base_lr, boundaries)

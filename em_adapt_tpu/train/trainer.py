@@ -231,8 +231,43 @@ class Trainer:
                 self.state_shardings,
             )
         self._ckpt = None
-        self._best_metric = float("-inf")
+        self._best_metric = self._load_best_metric()
         self._warmup_barriers = 0
+
+    def _best_metric_path(self) -> str:
+        import os
+
+        return os.path.join(
+            os.path.abspath(self.cfg.checkpoint.save_dir), "best_metric.json"
+        )
+
+    def _load_best_metric(self) -> float:
+        """The best-so-far eval score persists in a sidecar JSON next to
+        the checkpoints: without it, a resumed run restarts the best
+        comparison from -inf and its FIRST eval overwrites the "best"
+        checkpoint lineage even when it scores worse than the
+        pre-preemption best (round-3 review finding)."""
+        import json
+        import os
+
+        try:
+            with open(self._best_metric_path()) as f:
+                return float(json.load(f)["metric"])
+        except (OSError, ValueError, KeyError):
+            return float("-inf")
+
+    def _store_best_metric(self, score: float, step: int) -> None:
+        import json
+        import os
+
+        if jax.process_index() != 0:
+            return
+        path = self._best_metric_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"metric": float(score), "step": int(step)}, f)
+        os.replace(tmp, path)
 
     def _build_state(self, key: jax.Array) -> TrainState:
         k_params, k_state = jax.random.split(key)
@@ -578,6 +613,7 @@ class Trainer:
                     if score > self._best_metric:
                         self._best_metric = score
                         self.checkpointer.save(state, tag="best")
+                        self._store_best_metric(score, step_idx)
                     # Eval is synchronous host work; restart the
                     # throughput window so the NEXT log's images/sec
                     # reports step throughput, not steps+eval.

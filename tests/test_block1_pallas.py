@@ -214,11 +214,17 @@ def test_auto_gating_resolution(monkeypatch):
     monkeypatched — tests run on CPU)."""
     from jax.sharding import Mesh
 
-    model = DeepLabLargeFOV(ModelConfig(block1_impl="auto"))
+    model = DeepLabLargeFOV(
+        ModelConfig(block1_impl="auto", compute_dtype="bfloat16")
+    )
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "device_count", lambda: 1)
     assert model._block1_mode(6, 321, 321, True) == "pallas"
     assert model._block1_mode(6, 321, 321, False) == "xla"   # inference
+    # f32 compute: the kernel's f32 working set exceeds scoped VMEM
+    # (measured OOM on v5e, round 3) — auto keeps XLA
+    f32_model = DeepLabLargeFOV(ModelConfig(block1_impl="auto"))
+    assert f32_model._block1_mode(6, 321, 321, True) == "xla"
     assert model._block1_mode(24, 321, 321, True) == "xla"   # big batch
     assert model._block1_mode(6, 320, 320, True) == "xla"    # even size
     monkeypatch.setattr(jax, "device_count", lambda: 8)
