@@ -110,11 +110,19 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="config overrides key=value")
 
     ex = sub.add_parser(
-        "export", help="serialize the predict fn as a StableHLO artifact"
+        "export", help="serialize the predict fn as a StableHLO artifact, "
+        "or the weights as a reference-format init.npy"
     )
-    ex.add_argument("--out", required=True, help="output .stablehlo path")
+    ex.add_argument("--out", required=True,
+                    help="output path (.stablehlo or .npy)")
     ex.add_argument("--checkpoint", default=None, help="checkpoint dir")
     ex.add_argument("--batch-size", type=int, default=None)
+    ex.add_argument("--format", choices=("stablehlo", "npy"),
+                    default="stablehlo",
+                    help="'npy' writes the reference's init.npy interchange "
+                    "format ({layer: {w: HWIO, b}}, reference "
+                    "deeplab.py:126-129) so trained weights can warm-start "
+                    "the reference implementation")
     ex.add_argument("--config", dest="overrides", nargs="*", default=[],
                     help="config overrides key=value")
 
@@ -490,6 +498,14 @@ def cmd_export(args) -> int:
         print(f"exporting checkpoint step {latest}")
     else:
         print("warning: no checkpoint found; exporting fresh init")
+    if args.format == "npy":
+        from em_adapt_tpu.eval.export import export_params_npy
+
+        export_params_npy(state.params, args.out)
+        import os
+
+        print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB)")
+        return 0
     blob = export_predict_fn(cfg, trainer.model, state.params, args.batch_size)
     with open(args.out, "wb") as f:
         f.write(blob)

@@ -41,3 +41,28 @@ def load_predict_fn(blob: bytes):
     """Rehydrate a serialized artifact into a callable(images)."""
     exported = jax_export.deserialize(blob)
     return lambda images: exported.call(images)
+
+
+def export_params_npy(params, path: str) -> None:
+    """Write params in the reference's ``init.npy`` interchange format.
+
+    The reference warm-starts from ``np.load(path, encoding="latin1")
+    .item()`` -> ``{layer: {"w": HWIO float32, "b": [C] float32}}``
+    (reference deeplab.py:126-129, :160-167). Our param tree already uses
+    those layer names and the HWIO layout, so a trained checkpoint can be
+    handed BACK to the reference (or to any Caffe-init consumer) as its
+    ``init.npy`` / ``model_path`` input — the reverse of
+    ``ModelConfig.init_model_path``. Round trip is exact:
+    ``load_caffe_init(path)`` -> ``init_params(..., init_model=...)``
+    reproduces the tree bit-for-bit (tests/test_export.py).
+    """
+    import numpy as np
+
+    blob = {
+        layer: {k: np.asarray(v, dtype=np.float32) for k, v in leaves.items()}
+        for layer, leaves in jax.device_get(params).items()
+    }
+    # Write through a file object: np.save(str_path) appends ".npy" to
+    # unsuffixed paths, which would break the CLI's size report.
+    with open(path, "wb") as f:
+        np.save(f, np.asarray(blob, dtype=object), allow_pickle=True)
