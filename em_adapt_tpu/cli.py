@@ -88,6 +88,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir (default: config checkpoint.save_dir)")
     e.add_argument("--crf", action="store_true", help="denseCRF post-processing")
     e.add_argument("--synthetic", type=int, default=None, metavar="N")
+    e.add_argument("--int8", action="store_true",
+                   help="post-training-quantized int8 serving path "
+                   "(calibrated on the first eval batch; see "
+                   "eval/quantize.py)")
     e.add_argument("--fixed-size", action="store_true",
                    help="evaluate at the training resolution (fast path)")
     e.add_argument("overrides", nargs="*", help="config overrides key=value")
@@ -104,6 +108,9 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--out", required=True, help="output directory for masks")
     pr.add_argument("--checkpoint", default=None, help="checkpoint dir")
     pr.add_argument("--crf", action="store_true", help="denseCRF refinement")
+    pr.add_argument("--int8", action="store_true",
+                    help="post-training-quantized int8 serving path "
+                    "(calibrated on the inputs themselves)")
     pr.add_argument("--overlay", action="store_true",
                     help="also write RGB color overlays next to the masks")
     pr.add_argument("--config", dest="overrides", nargs="*", default=[],
@@ -117,6 +124,12 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="output path (.stablehlo or .npy)")
     ex.add_argument("--checkpoint", default=None, help="checkpoint dir")
     ex.add_argument("--batch-size", type=int, default=None)
+    ex.add_argument("--int8", action="store_true",
+                    help="quantize before StableHLO export (int8 serving "
+                    "artifact; calibrated on synthetic preprocessed-range "
+                    "data unless --calib-images is given)")
+    ex.add_argument("--calib-images", nargs="*", default=None,
+                    metavar="IMG", help="calibration images for --int8")
     ex.add_argument("--format", choices=("stablehlo", "npy"),
                     default="stablehlo",
                     help="'npy' writes the reference's init.npy interchange "
@@ -371,14 +384,24 @@ def cmd_eval(args) -> int:
                           seed=cfg.train.seed + 1, category="val")
     else:
         ds = VOCSegmentation(cfg.data, "val")
-    ev = Evaluator(cfg, trainer.model)
+    model, params = trainer.model, state.params
+    if args.int8:
+        from em_adapt_tpu.eval.quantize import quantize_model
+
+        calib = batch_iterator(ds, cfg.data, batch_size=cfg.eval.batch_size,
+                               seed=0, epochs=1, train=False,
+                               drop_remainder=False, pad_remainder=True)
+        first = next(iter(calib))["image"]
+        model, params = quantize_model(cfg.model, params, [first])
+        print(f"int8 PTQ: calibrated on {first.shape[0]} images")
+    ev = Evaluator(cfg, model)
     if args.fixed_size:
         batches = batch_iterator(ds, cfg.data, batch_size=cfg.eval.batch_size,
                                  seed=0, epochs=1, train=False,
                                  drop_remainder=False, pad_remainder=True)
-        miou, iou = ev.evaluate_fixed(state.params, batches)
+        miou, iou = ev.evaluate_fixed(params, batches)
     else:
-        miou, iou = ev.evaluate_voc(state.params, ds, use_crf=args.crf)
+        miou, iou = ev.evaluate_voc(params, ds, use_crf=args.crf)
     from em_adapt_tpu.data.voc import VOC_CLASS_NAMES
 
     for i, v in enumerate(iou):
@@ -438,7 +461,22 @@ def cmd_predict(args) -> int:
     else:
         print("warning: no checkpoint found; predicting with fresh init")
 
-    model = trainer.model
+    model, params = trainer.model, state.params
+    if args.int8:
+        # Self-calibration on the prediction inputs themselves (PTQ needs
+        # only activation RANGES, not labels — the inputs are exactly the
+        # distribution being served).
+        from em_adapt_tpu.eval.quantize import quantize_model
+
+        calib = []
+        for path in args.inputs[:8]:
+            raw = np.asarray(Image.open(path).convert("RGB"))
+            img, _ = preprocess_eval(raw, None, input_size=cfg.model.input_size)
+            calib.append(img)
+        model, params = quantize_model(
+            cfg.model, params, [np.stack(calib)]
+        )
+        print(f"int8 PTQ: calibrated on {len(calib)} input images")
     logits_fn = jax.jit(lambda p, x: model.apply(p, x, train=False))
     os.makedirs(args.out, exist_ok=True)
 
@@ -448,7 +486,7 @@ def cmd_predict(args) -> int:
     for path in args.inputs:
         raw = np.asarray(Image.open(path).convert("RGB"))
         img, _ = preprocess_eval(raw, None, input_size=cfg.model.input_size)
-        lg = logits_fn(state.params, jnp.asarray(img)[None])[0]
+        lg = logits_fn(params, jnp.asarray(img)[None])[0]
         up = np.asarray(resize_bilinear_tf(lg, raw.shape[:2]))
         if args.crf:
             from em_adapt_tpu.eval.crf import dense_crf
@@ -506,7 +544,42 @@ def cmd_export(args) -> int:
 
         print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB)")
         return 0
-    blob = export_predict_fn(cfg, trainer.model, state.params, args.batch_size)
+    model, params = trainer.model, state.params
+    if args.int8:
+        import numpy as np
+
+        from em_adapt_tpu.eval.quantize import quantize_model
+
+        if args.calib_images:
+            from PIL import Image
+
+            from em_adapt_tpu.data.augment import preprocess_eval
+
+            calib = [
+                preprocess_eval(
+                    np.asarray(Image.open(p).convert("RGB")), None,
+                    input_size=cfg.model.input_size,
+                )[0]
+                for p in args.calib_images
+            ]
+            calib_batch = np.stack(calib)
+        else:
+            # No images: synthesize preprocessed-range data (uint8 pixels
+            # minus the Caffe BGR mean). Ranges only — adequate for the
+            # first layer, looser than real data for deep layers; prefer
+            # --calib-images for production artifacts.
+            from em_adapt_tpu.data.augment import BGR_MEAN
+
+            g = np.random.default_rng(0)
+            h, w = cfg.model.input_size
+            raw = g.integers(0, 256, size=(8, h, w, 3)).astype(np.float32)
+            calib_batch = raw[..., ::-1] - np.asarray(BGR_MEAN, np.float32)
+            print("warning: --int8 without --calib-images calibrates on "
+                  "synthetic data; pass representative images for "
+                  "production artifacts")
+        model, params = quantize_model(cfg.model, params, [calib_batch])
+        print("int8 PTQ applied (s8xs8->s32 MXU serving graph)")
+    blob = export_predict_fn(cfg, model, params, args.batch_size)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB)")

@@ -53,6 +53,19 @@ def test_lr_schedule_matches_reference_drops():
     assert float(sched(3000)) == pytest.approx(1e-6, rel=1e-4)
 
 
+def test_lr_schedule_unsorted_override_applies_configured_values():
+    """The boundary scale chain is order-sensitive; an unsorted user
+    override like ((20,1e-5),(10,1e-4)) must still APPLY the configured
+    LRs (regression: the chain was built in given order, silently running
+    10x the configured LR between the drops while the host-side log
+    showed the right value)."""
+    cfg = OptimConfig(base_lr=1e-3, lr_schedule=((20, 1e-5), (10, 1e-4)))
+    sched = lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(50)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(sched(150)) == pytest.approx(1e-4, rel=1e-6)
+    assert float(sched(250)) == pytest.approx(1e-5, rel=1e-6)
+
+
 def test_lr_host_matches_optax():
     """optim.lr_at (host-side, used by the train-loop log records) must
     agree with the optax schedule at every step, including the exact
@@ -378,6 +391,74 @@ def test_fit_periodic_eval_saves_best(rng, tmp_path):
     )
     # best saved at steps 2 and 4 (improvements), not at 6
     assert trainer.checkpointer.latest_step("best") == 4
+    trainer.checkpointer.close()
+
+
+def test_best_metric_survives_trainer_restart(rng, tmp_path):
+    """A resumed run must not let its first (possibly worse) eval
+    overwrite the 'best' checkpoint lineage: the best-so-far score
+    persists in a sidecar JSON next to the checkpoints."""
+    import json
+    import os
+
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=10**6,
+            async_save=False,
+        ),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, log_every_steps=100,
+                          eval_every_steps=2),
+        optim=OptimConfig(accum_steps=2, lr_schedule=()),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.fit(
+        trainer.init_state(),
+        (tiny_batch(rng) for _ in range(6)),
+        eval_fn=lambda s, it=iter([0.1, 0.5, 0.2]): next(it),
+    )
+    assert trainer.checkpointer.latest_step("best") == 4
+    side = json.load(open(os.path.join(str(tmp_path / "saver"),
+                                       "best_metric.json")))
+    assert side["metric"] == 0.5 and side["step"] == 4
+    trainer.checkpointer.close()
+
+    # Fresh Trainer on the same save_dir: first eval 0.3 < stored 0.5
+    # must NOT save a new "best"; 0.9 must.
+    trainer2 = Trainer(cfg, steps_per_epoch=3)
+    assert trainer2._best_metric == 0.5
+    trainer2.fit(
+        trainer2.init_state(),
+        (tiny_batch(rng) for _ in range(6)),
+        eval_fn=lambda s, it=iter([0.3, 0.9, 0.4]): next(it),
+    )
+    side = json.load(open(os.path.join(str(tmp_path / "saver"),
+                                       "best_metric.json")))
+    assert side["metric"] == 0.9
+    trainer2.checkpointer.close()
+
+
+def test_checkpoint_duplicate_step_save_is_noop(rng, tmp_path):
+    """Saving the same step twice under one tag (preemption signal right
+    after a cadence save; final save on a cadence boundary) must not
+    raise orbax's StepAlreadyExistsError."""
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=10**6,
+            async_save=False,
+        ),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.init_state()
+    b = trainer.plan.shard_batch(
+        {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    )
+    state, _ = trainer.train_step(state, b)
+    trainer.checkpointer.save(state, tag="norm")
+    trainer.checkpointer.save(state, tag="norm")  # must be a silent no-op
+    trainer.checkpointer.wait()
+    assert trainer.checkpointer.latest_step("norm") == 1
     trainer.checkpointer.close()
 
 
