@@ -537,6 +537,11 @@ def cmd_export(args) -> int:
     else:
         print("warning: no checkpoint found; exporting fresh init")
     if args.format == "npy":
+        if args.int8 or args.calib_images:
+            print("error: --int8/--calib-images apply only to "
+                  "--format stablehlo (the npy interchange format is the "
+                  "reference's f32 init.npy contract)", file=sys.stderr)
+            return 2
         from em_adapt_tpu.eval.export import export_params_npy
 
         export_params_npy(state.params, args.out)
@@ -564,16 +569,15 @@ def cmd_export(args) -> int:
             ]
             calib_batch = np.stack(calib)
         else:
-            # No images: synthesize preprocessed-range data (uint8 pixels
-            # minus the Caffe BGR mean). Ranges only — adequate for the
-            # first layer, looser than real data for deep layers; prefer
-            # --calib-images for production artifacts.
-            from em_adapt_tpu.data.augment import BGR_MEAN
-
+            # No images: synthesize uint8 pixels; quantize_model applies
+            # the wire preprocessing (BGR + Caffe mean) itself. Ranges
+            # only — adequate for the first layer, looser than real data
+            # for deep layers; prefer --calib-images for production.
             g = np.random.default_rng(0)
             h, w = cfg.model.input_size
-            raw = g.integers(0, 256, size=(8, h, w, 3)).astype(np.float32)
-            calib_batch = raw[..., ::-1] - np.asarray(BGR_MEAN, np.float32)
+            calib_batch = g.integers(
+                0, 256, size=(8, h, w, 3), dtype=np.uint8
+            )
             print("warning: --int8 without --calib-images calibrates on "
                   "synthetic data; pass representative images for "
                   "production artifacts")

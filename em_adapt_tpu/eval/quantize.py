@@ -62,8 +62,12 @@ def observe_activation_ranges(cfg: ModelConfig, params, batches) -> dict[str, fl
     cheap even through a slow link.
     """
 
+    # params is a jit ARGUMENT (not a closure): closing over it would
+    # bake ~all weights into the traced HLO as constants — a much bigger
+    # module to compile/ship through the slow relay, re-specialized per
+    # quantize_model call.
     @jax.jit
-    def one(x):
+    def one(params, x):
         x = _preprocess_uint8(x)
         h = x
         amax = {}
@@ -80,7 +84,7 @@ def observe_activation_ranges(cfg: ModelConfig, params, batches) -> dict[str, fl
 
     out: dict[str, float] = {}
     for batch in batches:
-        got = jax.device_get(one(jnp.asarray(batch)))
+        got = jax.device_get(one(params, jnp.asarray(batch)))
         for k, v in got.items():
             out[k] = max(out.get(k, 0.0), float(v))
     for k, v in out.items():

@@ -27,6 +27,9 @@ class CheckpointManager:
     def __init__(self, cfg: CheckpointConfig):
         self.cfg = cfg
         self._managers: dict[str, ocp.CheckpointManager] = {}
+        #: steps THIS process already saved per tag (lineage tracking for
+        #: the duplicate-step rule in :meth:`save`)
+        self._saved_steps: dict[str, set[int]] = {}
 
     def _manager(self, tag: str) -> ocp.CheckpointManager:
         if tag not in self._managers:
@@ -41,17 +44,22 @@ class CheckpointManager:
     def save(self, state, *, tag: str = "norm") -> None:
         step = int(jax.device_get(state.step))
         mgr = self._manager(tag)
-        if step in mgr.all_steps():
-            # Same step, same tag: the state is identical (the step
-            # counter advances inside the jitted step), so this is a
-            # legitimate re-save — a preemption signal landing right
-            # after a cadence save, the CLI's final save coinciding with
-            # a cadence boundary, or a resumed run re-crossing an LR
-            # drop it already snapshotted. orbax raises
-            # StepAlreadyExistsError for duplicates; skipping is the
-            # correct semantics, not a failure.
+        seen = self._saved_steps.setdefault(tag, set())
+        if step in seen:
+            # Same step saved by THIS run: the state is identical (the
+            # step counter advances inside the jitted step), so skipping
+            # is correct — a preemption signal landing right after a
+            # cadence save, or the final save coinciding with a cadence
+            # boundary. orbax would raise StepAlreadyExistsError.
             return
+        if step in mgr.all_steps():
+            # Same step from a DIFFERENT run reusing this save_dir (e.g.
+            # a warm-start fine-tune writing in place): the state is NOT
+            # the old one — newest write wins, silently keeping the stale
+            # checkpoint would be data loss.
+            mgr.delete(step)
         mgr.save(step, args=ocp.args.StandardSave(state))
+        seen.add(step)
 
     def restore(self, template, *, tag: str = "norm", step: int | None = None):
         """Restore into the structure of ``template`` (an abstract or

@@ -231,7 +231,12 @@ class Trainer:
                 self.state_shardings,
             )
         self._ckpt = None
-        self._best_metric = self._load_best_metric()
+        # -inf until fit() sees a RESUMED state (step > 0): only then is
+        # the best_metric.json sidecar the same lineage. A fresh or
+        # warm-started run (step 0) is a NEW lineage — inheriting a stale
+        # best from a previous experiment in the same save_dir would
+        # suppress its "best" checkpoints entirely (review finding).
+        self._best_metric = float("-inf")
         self._warmup_barriers = 0
 
     def _best_metric_path(self) -> str:
@@ -246,15 +251,27 @@ class Trainer:
         the checkpoints: without it, a resumed run restarts the best
         comparison from -inf and its FIRST eval overwrites the "best"
         checkpoint lineage even when it scores worse than the
-        pre-preemption best (round-3 review finding)."""
+        pre-preemption best (round-3 review finding).
+
+        Multi-host: only process 0 writes the sidecar, and per-host
+        filesystems may differ — the value is broadcast from process 0 so
+        the ``score > best`` predicate (which gates a COLLECTIVE orbax
+        save) stays process-uniform."""
         import json
-        import os
 
         try:
             with open(self._best_metric_path()) as f:
-                return float(json.load(f)["metric"])
+                value = float(json.load(f)["metric"])
         except (OSError, ValueError, KeyError):
-            return float("-inf")
+            value = float("-inf")
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            value = float(
+                multihost_utils.broadcast_one_to_all(np.float32(value))
+            )
+        return value
 
     def _store_best_metric(self, score: float, step: int) -> None:
         import json
@@ -494,6 +511,12 @@ class Trainer:
         # here the host counter is authoritative (it advances in lockstep
         # with state.step inside the jitted step).
         step_idx = int(jax.device_get(state.step))
+        if step_idx > 0 and self._best_metric == float("-inf"):
+            # Resumed lineage (nonzero restored step): inherit the stored
+            # best so the first post-resume eval cannot overwrite a
+            # better pre-preemption "best" checkpoint. Fresh/warm-started
+            # runs (step 0) keep -inf — new lineage, new best race.
+            self._best_metric = self._load_best_metric()
         prefetcher = None
         if cfg.data.prefetch > 0 and not isinstance(batches, DevicePrefetcher):
             prefetcher = DevicePrefetcher(batches, self.plan, depth=cfg.data.prefetch)

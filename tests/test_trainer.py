@@ -395,9 +395,11 @@ def test_fit_periodic_eval_saves_best(rng, tmp_path):
 
 
 def test_best_metric_survives_trainer_restart(rng, tmp_path):
-    """A resumed run must not let its first (possibly worse) eval
+    """A RESUMED run must not let its first (possibly worse) eval
     overwrite the 'best' checkpoint lineage: the best-so-far score
-    persists in a sidecar JSON next to the checkpoints."""
+    persists in a sidecar JSON and is inherited when fit() starts from a
+    restored (step > 0) state. A FRESH run (step 0) in the same save_dir
+    is a new lineage and must NOT inherit."""
     import json
     import os
 
@@ -410,31 +412,53 @@ def test_best_metric_survives_trainer_restart(rng, tmp_path):
                           eval_every_steps=2),
         optim=OptimConfig(accum_steps=2, lr_schedule=()),
     )
+    side_path = os.path.join(str(tmp_path / "saver"), "best_metric.json")
     trainer = Trainer(cfg, steps_per_epoch=3)
-    state = trainer.fit(
+    trainer.fit(
         trainer.init_state(),
         (tiny_batch(rng) for _ in range(6)),
         eval_fn=lambda s, it=iter([0.1, 0.5, 0.2]): next(it),
     )
     assert trainer.checkpointer.latest_step("best") == 4
-    side = json.load(open(os.path.join(str(tmp_path / "saver"),
-                                       "best_metric.json")))
+    side = json.load(open(side_path))
     assert side["metric"] == 0.5 and side["step"] == 4
     trainer.checkpointer.close()
 
-    # Fresh Trainer on the same save_dir: first eval 0.3 < stored 0.5
-    # must NOT save a new "best"; 0.9 must.
+    # RESUME (restored state, step 4 > 0): inherits best=0.5, so the
+    # post-resume eval scoring 0.3 must NOT create a new "best".
     trainer2 = Trainer(cfg, steps_per_epoch=3)
-    assert trainer2._best_metric == 0.5
+    state = trainer2.restore_state(tag="best")  # step 4
     trainer2.fit(
-        trainer2.init_state(),
+        state,
         (tiny_batch(rng) for _ in range(6)),
-        eval_fn=lambda s, it=iter([0.3, 0.9, 0.4]): next(it),
+        eval_fn=lambda s, it=iter([0.3]): next(it),
     )
-    side = json.load(open(os.path.join(str(tmp_path / "saver"),
-                                       "best_metric.json")))
-    assert side["metric"] == 0.9
+    assert trainer2.checkpointer.latest_step("best") == 4  # unchanged
+    assert json.load(open(side_path))["metric"] == 0.5
     trainer2.checkpointer.close()
+
+    # Resume again, now beating the stored best: 0.9 must win.
+    trainer3 = Trainer(cfg, steps_per_epoch=3)
+    state = trainer3.restore_state(tag="best")
+    trainer3.fit(
+        state,
+        (tiny_batch(rng) for _ in range(6)),
+        eval_fn=lambda s, it=iter([0.9]): next(it),
+    )
+    assert trainer3.checkpointer.latest_step("best") == 6
+    assert json.load(open(side_path))["metric"] == 0.9
+    trainer3.checkpointer.close()
+
+    # FRESH lineage (step 0) in the same dir: does NOT inherit 0.9 — its
+    # own first eval becomes its best (and overwrites the sidecar).
+    trainer4 = Trainer(cfg, steps_per_epoch=3)
+    trainer4.fit(
+        trainer4.init_state(),
+        (tiny_batch(rng) for _ in range(6)),
+        eval_fn=lambda s, it=iter([0.2, 0.05, 0.01]): next(it),
+    )
+    assert json.load(open(side_path))["metric"] == 0.2
+    trainer4.checkpointer.close()
 
 
 def test_checkpoint_duplicate_step_save_is_noop(rng, tmp_path):
