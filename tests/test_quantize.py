@@ -112,6 +112,24 @@ def test_quantized_export_roundtrip(fixture_model):
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(live_pred))
 
 
+def test_quantized_predict_shards_over_data_mesh(fixture_model):
+    """The int8 serving path is plain XLA (s8 convs, no pallas), so GSPMD
+    shards it over a data-parallel mesh with no special casing: batch
+    sharded over 8 fake devices == single-device result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    params, x = fixture_model
+    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    x8 = jnp.concatenate([x] * 4)  # batch 8 over 8 devices
+    ref = jax.device_get(qmodel.predict(qparams, x8)[1])
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x8, NamedSharding(mesh, P("data")))
+    qs = jax.device_put(qparams, NamedSharding(mesh, P()))
+    pred = jax.jit(lambda p, v: qmodel.predict(p, v)[1])(qs, xs)
+    np.testing.assert_array_equal(jax.device_get(pred), ref)
+
+
 def test_uint8_wire_input_matches_float(fixture_model):
     """The compact uint8 wire contract holds for the quantized model."""
     params, _ = fixture_model
