@@ -328,10 +328,7 @@ def cmd_train(args) -> int:
 
         cached = []
         for _ in range(args.device_data):
-            b = next(batches)
-            cached.append(trainer.plan.shard_batch(
-                {k: v for k, v in b.items() if not isinstance(v, (list, str))}
-            ))
+            cached.append(trainer.plan.ensure_batch_sharded(next(batches)))
         batches = itertools.cycle(cached)
         if is_main:
             print(f"device-data mode: cycling {len(cached)} device-resident "

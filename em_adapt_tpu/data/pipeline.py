@@ -192,6 +192,25 @@ def batch_iterator(
             f"{nprocs} processes"
         )
     local_bs = batch_size // nprocs
+    if n < batch_size and drop_remainder and not pad_remainder:
+        # Every epoch's only (partial) batch would be dropped: with
+        # epochs=None the generator would spin forever without yielding
+        # (hanging the trainer inside the prefetcher with no diagnostic),
+        # with finite epochs it would silently yield nothing.
+        raise ValueError(
+            f"dataset has {n} images < batch_size {batch_size} and "
+            "drop_remainder=True would drop every batch; lower the batch "
+            "size or pass pad_remainder=True"
+        )
+    if process_shard is not None and not (drop_remainder or pad_remainder):
+        # A partial final batch would slice into UNEVEN per-process
+        # blocks (some empty -> np.stack crash on only those processes,
+        # desyncing the collective step). Static shapes per process are
+        # the multi-host contract.
+        raise ValueError(
+            "process_shard requires drop_remainder or pad_remainder "
+            "(a partial batch cannot be split evenly across processes)"
+        )
     root = np.random.SeedSequence([seed, 0xDA7A])
     epoch = 0
 
@@ -326,15 +345,7 @@ class DevicePrefetcher:
             for batch in self._it:
                 if self._stop:
                     break
-                arrays = {
-                    k: v for k, v in batch.items() if not isinstance(v, (list, str))
-                }
-                # Already-device batches (e.g. --device-data cached arrays)
-                # pass through: re-putting them is wasted work single-host
-                # and WRONG multi-host (make_array_from_process_local_data
-                # would treat the global array as one process's shard).
-                if not all(isinstance(v, jax.Array) for v in arrays.values()):
-                    arrays = self._plan.shard_batch(arrays)
+                arrays = self._plan.ensure_batch_sharded(batch)
                 dev = dict(arrays)
                 for k, v in batch.items():  # pass host-only leaves through
                     if k not in dev:

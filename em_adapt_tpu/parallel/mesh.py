@@ -137,6 +137,22 @@ class MeshPlan:
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated())
 
+    def ensure_batch_sharded(self, batch: dict) -> dict:
+        """Strip host-only leaves (lists/strs) and ``shard_batch`` the
+        rest — unless every array leaf is ALREADY a jax.Array (e.g.
+        ``--device-data`` cached batches), which pass through untouched.
+        Re-putting a global array via make_array_from_process_local_data
+        would reinterpret it as one process's LOCAL shard on multi-host
+        (wrong values), and is wasted work single-host. Single source of
+        truth for a rule that four call sites used to duplicate
+        (Trainer.fit / _multihost_warmup / DevicePrefetcher / cli)."""
+        arrays = {
+            k: v for k, v in batch.items() if not isinstance(v, (list, str))
+        }
+        if all(isinstance(v, jax.Array) for v in arrays.values()):
+            return arrays
+        return self.shard_batch(arrays)
+
 
 def shard_map_eligibility(
     mesh, data_axis: str, batch: int

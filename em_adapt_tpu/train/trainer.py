@@ -262,7 +262,9 @@ class Trainer:
         try:
             with open(self._best_metric_path()) as f:
                 value = float(json.load(f)["metric"])
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
+            # TypeError covers a syntactically-valid but non-dict sidecar
+            # (hand-edited null/list): treat as absent, don't crash resume.
             value = float("-inf")
         if jax.process_count() > 1:
             import numpy as np
@@ -378,11 +380,7 @@ class Trainer:
             first = next(it)
         except StopIteration:
             return iter(())
-        arrays = {
-            k: v for k, v in first.items() if not isinstance(v, (list, str))
-        }
-        if not all(isinstance(v, jax.Array) for v in arrays.values()):
-            arrays = self.plan.shard_batch(arrays)
+        arrays = self.plan.ensure_batch_sharded(first)
 
         def aval(a):
             return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
@@ -528,6 +526,7 @@ class Trainer:
         macro_k = max(1, cfg.train.macro_steps) if self.macro_step else 1
         buf: list = []
         metrics = None
+        preempted = False
         prev_metrics = None  # metrics of the PREVIOUS dispatch (see below)
         with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
             if prefetcher is not None:
@@ -536,19 +535,28 @@ class Trainer:
                 batches = self._multihost_warmup(
                     state, batches, macro_k, total_steps - step_idx
                 )
-            for batch in batches:
-                if step_idx >= total_steps:
-                    break
-                if shutdown.requested:
+            batch_it = iter(batches)
+            _END = object()
+            while step_idx < total_steps:
+                # Shutdown and budget are checked BEFORE fetching: a
+                # finished/preempted run must not block on (and consume)
+                # one more decoded+uploaded batch. The flag is made
+                # process-UNIFORM on multi-host (utils/failure.py): the
+                # orbax save below is a cross-process collective, so a
+                # signal that reached only some processes would deadlock
+                # the job right when it is being preempted.
+                if shutdown.requested_uniform():
                     # Preemption / interrupt: persist the full state and
                     # leave cleanly (the reference would lose up to 6000
                     # steps here — SURVEY.md §5).
+                    preempted = True
                     self.checkpointer.save(state, tag="norm")
                     self.checkpointer.wait()
                     break
-                arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
-                if not all(isinstance(v, jax.Array) for v in arrays.values()):
-                    arrays = self.plan.shard_batch(arrays)
+                batch = next(batch_it, _END)
+                if batch is _END:
+                    break
+                arrays = self.plan.ensure_batch_sharded(batch)
                 # Macro stepping: fuse K microsteps into one dispatch when
                 # a full window remains; singles cover the tail.
                 use_macro = macro_k > 1 and total_steps - step_idx >= macro_k
@@ -595,7 +603,10 @@ class Trainer:
                     if reason is not None:
                         raise RuntimeError(f"training unhealthy: {reason}")
                 prev_metrics = metrics
-                if prev_idx // cfg.train.log_every_steps < step_idx // cfg.train.log_every_steps:
+                if cfg.train.log_every_steps and (
+                    prev_idx // cfg.train.log_every_steps
+                    < step_idx // cfg.train.log_every_steps
+                ):
                     # The ONLY full device sync: fetching the scalar
                     # metrics here also drains the dispatch queue, so the
                     # window below measures true steady-state throughput
@@ -641,29 +652,43 @@ class Trainer:
                     # throughput window so the NEXT log's images/sec
                     # reports step throughput, not steps+eval.
                     t_window, n_window = time.time(), n_done
-                if (
+                if cfg.checkpoint.save_every_steps and (
                     prev_idx // cfg.checkpoint.save_every_steps
                     < step_idx // cfg.checkpoint.save_every_steps
                 ):
                     self.checkpointer.save(state, tag="norm")
             # A finite iterator can end mid-macro-window: flush the
             # buffered (already device-put) batches through single steps
-            # so no training step is silently dropped. Skipped on
+            # so no training step is silently dropped — and neither are
+            # the state-affecting cadences (the exact-boundary "lr"
+            # snapshot contract, reference deeplab.py:248, and periodic
+            # "norm" saves; log/eval cadences are cosmetic for a <K-step
+            # tail and stay quantized to the loop). Skipped on
             # preemption — those steps re-run after resume.
-            if buf and not shutdown.requested:
+            if buf and not preempted:
                 for arrays in buf:
                     if step_idx >= total_steps:
                         break
+                    if (
+                        cfg.checkpoint.snapshot_on_lr_drop
+                        and step_idx in lr_drop_steps
+                    ):
+                        self.checkpointer.save(state, tag="lr")
                     state, metrics = self.train_step(state, arrays)
                     n_done += 1
                     step_idx += 1
+                    if cfg.checkpoint.save_every_steps and (
+                        (step_idx - 1) // cfg.checkpoint.save_every_steps
+                        < step_idx // cfg.checkpoint.save_every_steps
+                    ):
+                        self.checkpointer.save(state, tag="norm")
             # Final health check: the in-loop watchdog always inspects the
             # PREVIOUS dispatch (to keep the pipeline full), so the last
             # dispatch — and the tail-flush steps above — would otherwise
             # escape scrutiny and a NaN state could be checkpointed as
             # "norm" by the caller. NaNs propagate through the params, so
             # one check on the final loss covers the whole tail.
-            if metrics is not None and not shutdown.requested:
+            if metrics is not None and not preempted:
                 reason = watchdog.check(float(jax.device_get(metrics["loss"])))
                 if reason is not None:
                     raise RuntimeError(f"training unhealthy: {reason}")

@@ -27,10 +27,51 @@ class GracefulShutdown:
     def __init__(self):
         self._flag = threading.Event()
         self._prev = {}
+        self._published = False  # see requested_uniform
 
     @property
     def requested(self) -> bool:
         return self._flag.is_set()
+
+    def requested_uniform(self) -> bool:
+        """Cross-process OR of ``requested`` — use this when the flag
+        gates a COLLECTIVE action (the trainer's preemption save is a
+        multi-process orbax save: if SIGTERM reached only some processes,
+        the signaled ones would enter the collective while the others
+        keep dispatching train steps, deadlocking the job as it is being
+        preempted).
+
+        Mechanism: the jax distributed coordinator's key-value store (a
+        host-side RPC — deliberately NOT a device collective, which would
+        enqueue behind the in-flight dispatch and serialize the pipeline
+        this loop exists to keep full). A process that saw a signal
+        publishes once; everyone polls per dispatch. Single-process (or
+        no distributed client / old jaxlib without key_value_try_get):
+        falls back to the local flag."""
+        local = self._flag.is_set()
+        try:
+            import jax
+
+            if jax.process_count() <= 1:
+                return local
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            if client is None or not hasattr(client, "key_value_try_get"):
+                return local
+            key = "em_adapt/shutdown_requested"
+            if local and not self._published:
+                client.key_value_set(key, "1")
+                self._published = True
+            if local:
+                return True
+            try:
+                client.key_value_try_get(key)
+                return True  # some process published the signal
+            except Exception:
+                return False  # key absent: nobody signaled yet
+        except Exception:
+            return local
 
     def _handler(self, signum, frame):
         if self._flag.is_set():

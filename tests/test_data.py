@@ -280,3 +280,30 @@ def test_voc_strong_list(tmp_path):
     cfg = DataConfig(list_dir=str(tmp_path / "txt"), main_path="root")
     ds = VOCSegmentation(cfg, "train", strong_list=str(tmp_path / "strong.txt"))
     assert ds.is_strong.tolist() == [False, True, False]
+
+
+def test_batch_iterator_rejects_dataset_smaller_than_batch():
+    """n < batch_size with drop_remainder would yield NOTHING — and with
+    epochs=None would spin forever inside the prefetcher (review
+    finding): must raise up front instead."""
+    ds = SyntheticVOC(n=4, num_classes=4, seed=0)
+    cfg = DataConfig(input_size=(33, 33))
+    with pytest.raises(ValueError, match="drop_remainder"):
+        next(batch_iterator(ds, cfg, batch_size=8, seed=0, epochs=1))
+    # pad_remainder makes the small dataset legal
+    b = next(batch_iterator(ds, cfg, batch_size=8, seed=0, epochs=1,
+                            train=False, drop_remainder=False,
+                            pad_remainder=True))
+    assert b["image"].shape[0] == 8
+
+
+def test_batch_iterator_rejects_process_shard_without_static_batches():
+    """process_shard slices each batch into equal per-process blocks; a
+    partial final batch would slice unevenly (empty on some processes) —
+    must raise instead of desyncing a multi-host run."""
+    ds = SyntheticVOC(n=10, num_classes=4, seed=0)
+    cfg = DataConfig(input_size=(33, 33))
+    with pytest.raises(ValueError, match="process_shard"):
+        next(batch_iterator(ds, cfg, batch_size=8, seed=0, epochs=1,
+                            drop_remainder=False, pad_remainder=False,
+                            process_shard=(0, 2)))

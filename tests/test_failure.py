@@ -187,3 +187,14 @@ def test_fit_watchdog_checks_final_dispatch(rng, tmp_path):
     with pytest.raises(RuntimeError, match="non-finite"):
         trainer.fit(state, batches(), num_steps=2)
     trainer.checkpointer.close()
+
+
+def test_requested_uniform_single_process_matches_local_flag():
+    """Single-process: requested_uniform is exactly the local flag (the
+    cross-process KV path only engages under a distributed client)."""
+    from em_adapt_tpu.utils.failure import GracefulShutdown
+
+    s = GracefulShutdown()
+    assert s.requested_uniform() is False
+    s._flag.set()
+    assert s.requested_uniform() is True

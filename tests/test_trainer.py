@@ -620,3 +620,70 @@ def test_lr_snapshot_exact_under_macro10(rng, tmp_path):
     assert int(jax.device_get(state.step)) == 12
     assert trainer.checkpointer.latest_step("lr") == 6
     trainer.checkpointer.close()
+
+
+def test_fit_does_not_consume_batches_past_the_budget(rng):
+    """fit must check the step budget BEFORE pulling from the iterator:
+    one extra pull costs a full decode + H2D upload and steals a batch
+    from any later consumer of a shared generator (review finding)."""
+    cfg = tiny_cfg(
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+        data=ExperimentConfig().data.__class__(prefetch=0),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.init_state()
+    pulled = []
+
+    def gen():
+        for i in range(100):
+            pulled.append(i)
+            yield tiny_batch(rng)
+
+    trainer.fit(state, gen(), num_steps=4)
+    assert len(pulled) == 4, pulled
+
+
+def test_zero_cadences_disable_instead_of_crash(rng, tmp_path):
+    """save_every_steps=0 / log_every_steps=0 must mean 'disabled' (like
+    eval_every_steps) rather than ZeroDivisionError (review finding)."""
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=0,
+            async_save=False,
+        ),
+        train=TrainConfig(batch_size=8, epochs=1, seed=0,
+                          log_every_steps=0, donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)
+    state = trainer.fit(trainer.init_state(),
+                        (tiny_batch(rng) for _ in range(3)))
+    assert int(jax.device_get(state.step)) == 3
+    assert trainer.checkpointer.latest_step("norm") is None  # disabled
+    trainer.checkpointer.close()
+
+
+def test_tail_flush_takes_lr_snapshot_and_norm_save(rng, tmp_path):
+    """A finite iterator ending mid-macro-window flushes singles — the
+    exact-boundary 'lr' snapshot and periodic 'norm' saves crossed by
+    those tail steps must still happen (review finding)."""
+    cfg = tiny_cfg(
+        checkpoint=ExperimentConfig().checkpoint.__class__(
+            save_dir=str(tmp_path / "saver"), save_every_steps=5,
+            async_save=False,
+        ),
+        train=TrainConfig(batch_size=8, epochs=3, seed=0,
+                          log_every_steps=10**6, macro_steps=4,
+                          donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=((2, 1e-4),)),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=3)  # drop at step 6
+    state = trainer.init_state()
+    # 7 batches: one macro window of 4, then the iterator ends with 3
+    # buffered -> tail flush runs steps 5,6,7; the drop boundary (6) and
+    # the save_every boundary (5) land INSIDE the tail.
+    trainer.fit(state, (tiny_batch(rng) for _ in range(7)))
+    assert trainer.checkpointer.latest_step("lr") == 6
+    assert trainer.checkpointer.latest_step("norm") == 5
+    trainer.checkpointer.close()
