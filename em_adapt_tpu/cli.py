@@ -58,7 +58,8 @@ def _build_parser() -> argparse.ArgumentParser:
                         "measured-fastest production setup (bf16 MXU "
                         "compute, 10-step fused dispatch, TPU hardware "
                         "RNG, compact uint8 wire + score-map labels — "
-                        "101.8 img/s/chip vs 43.5, PROFILE.md)")
+                        "115.2 img/s/chip on v5e vs 43.5 for round 1's "
+                        "loop, PROFILE.md)")
     t.add_argument("--device-data", type=int, default=None, metavar="N",
                    help="smoke/bench mode: pre-upload N batches and cycle "
                         "them on device, isolating step throughput from "
@@ -173,6 +174,12 @@ def _parse_warm_start(spec: str) -> tuple[str, int | None]:
 def cmd_train(args) -> int:
     import jax
 
+    if args.warm_start and args.resume:
+        # Trivially checkable: fail before any Trainer/device work (a
+        # remote-TPU init costs minutes on this rig).
+        print("error: --warm-start and --resume are mutually exclusive",
+              file=sys.stderr)
+        return 2
     _setup_jax()
 
     if getattr(args, "multihost", False):
@@ -223,9 +230,6 @@ def cmd_train(args) -> int:
 
     trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch)
     state = trainer.init_state()
-    if args.warm_start and args.resume:
-        print("error: --warm-start and --resume are mutually exclusive")
-        return 2
     if args.warm_start:
         wdir, wstep = _parse_warm_start(args.warm_start)
         state = trainer.warm_start(
@@ -392,19 +396,29 @@ def cmd_eval(args) -> int:
         model, params = quantize_model(cfg.model, params, [first])
         print(f"int8 PTQ: calibrated on {first.shape[0]} images")
     ev = Evaluator(cfg, model)
+    crf_applied = False
     if args.fixed_size:
+        if args.crf:
+            print("warning: --crf is ignored with --fixed-size (the CRF "
+                  "runs only in the original-resolution VOC protocol)",
+                  file=sys.stderr)
         batches = batch_iterator(ds, cfg.data, batch_size=cfg.eval.batch_size,
                                  seed=0, epochs=1, train=False,
                                  drop_remainder=False, pad_remainder=True)
         miou, iou = ev.evaluate_fixed(params, batches)
     else:
-        miou, iou = ev.evaluate_voc(params, ds, use_crf=args.crf)
+        # --crf turns the CRF on; without the flag, fall back to the
+        # eval.use_crf config field (evaluate_voc's None sentinel) so
+        # `em-adapt eval eval.use_crf=true` is honored.
+        use_crf = True if args.crf else None
+        crf_applied = use_crf if use_crf is not None else cfg.eval.use_crf
+        miou, iou = ev.evaluate_voc(params, ds, use_crf=use_crf)
     from em_adapt_tpu.data.voc import VOC_CLASS_NAMES
 
     for i, v in enumerate(iou):
         name = VOC_CLASS_NAMES[i] if i < len(VOC_CLASS_NAMES) else str(i)
         print(f"  IoU[{name}] = {v:.4f}")
-    print(f"mIoU = {miou:.4f}" + (" (with CRF)" if args.crf else ""))
+    print(f"mIoU = {miou:.4f}" + (" (with CRF)" if crf_applied else ""))
     return 0
 
 
@@ -436,9 +450,9 @@ def cmd_predict(args) -> int:
 
     from em_adapt_tpu.data.augment import preprocess_eval
     from em_adapt_tpu.data.voc import VOC_PALETTE, index_to_rgb
-    from em_adapt_tpu.ops.resize import resize_bilinear_tf
     from em_adapt_tpu.train import Trainer
 
+    _setup_jax()
     cfg = _load_cfg(args.overrides)
     if args.checkpoint:
         cfg = cfg.replace(
@@ -483,13 +497,20 @@ def cmd_predict(args) -> int:
     for path in args.inputs:
         raw = np.asarray(Image.open(path).convert("RGB"))
         img, _ = preprocess_eval(raw, None, input_size=cfg.model.input_size)
-        lg = logits_fn(params, jnp.asarray(img)[None])[0]
-        up = np.asarray(resize_bilinear_tf(lg, raw.shape[:2]))
+        lg = jax.device_get(logits_fn(params, jnp.asarray(img)[None])[0])
+        # Upsample + softmax on the HOST (same rationale as
+        # eval/predict.py::_post): device-side per-image dynamic shapes
+        # cost a fresh compile per distinct input size plus ~3 relay
+        # round trips of the full-resolution probability map.
+        from em_adapt_tpu.data.augment import resize_bilinear_np
+
+        up = resize_bilinear_np(np.asarray(lg, np.float32), raw.shape[:2])
         if args.crf:
             from em_adapt_tpu.eval.crf import dense_crf
 
-            probs = np.asarray(jax.nn.softmax(jnp.asarray(up), axis=-1))
-            up = dense_crf(probs, raw, cfg.eval)
+            e = np.exp(up - up.max(axis=-1, keepdims=True))
+            probs = e / e.sum(axis=-1, keepdims=True)
+            up = np.asarray(dense_crf(probs, raw, cfg.eval))
         pred = up.argmax(-1).astype(np.uint8)
         stem = os.path.splitext(os.path.basename(path))[0]
         mask = Image.fromarray(pred, mode="P")
@@ -515,6 +536,7 @@ def cmd_export(args) -> int:
     from em_adapt_tpu.eval.export import export_predict_fn
     from em_adapt_tpu.train import Trainer
 
+    _setup_jax()
     cfg = _load_cfg(args.overrides)
     if args.checkpoint:
         cfg = cfg.replace(

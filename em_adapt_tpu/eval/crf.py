@@ -6,9 +6,13 @@ compat=10; spatial (Gaussian) sxy=3, compat=3; 10 iterations (reference
 network.py:63). This module implements Krähenbühl & Koltun mean-field
 inference with a Potts compatibility:
 
-    Q <- softmax( log U - sum_m compat_m * (k_m * Q  - Q) )
+    Q_l <- softmax( log U_l + sum_m compat_m * (k_m * Q)_l )
 
-where k_m*Q is Gaussian filtering in (x, y) for the spatial kernel and in
+i.e. a POSITIVE coefficient on each label's own filtered mass: the Potts
+penalty on the OTHER labels' mass, compat * (S - (k*Q)_l), has a
+label-independent S = sum_l' (k*Q)_l' that cancels in the softmax (see
+the derivation at the update site below). k_m*Q is Gaussian filtering in
+(x, y) for the spatial kernel and in
 (x, y, r, g, b) for the bilateral kernel. The bilateral filter uses the
 standard bilateral-grid approximation (splat / blur / slice with the grid
 sampled at one cell per kernel std) — the same accuracy/speed trade the
@@ -164,29 +168,35 @@ def dense_crf(
         # One lattice for all mean-field iterations (features are fixed).
         lattice = PermutohedralLattice(bi_feats.reshape(h * w, -1))
 
-    for _ in range(iters):
-        if method == "exact":
-            sp = _exact_kernel_filter(q, sp_feats)
-            bi = _exact_kernel_filter(q, bi_feats)
-        elif method == "permutohedral":
-            # Spatial kernel: ndimage separable filtering IS the exact
-            # kernel (tests/test_crf.py); the lattice covers the 5-D
-            # bilateral where the grid approximation was the weak link.
-            sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
-            bi = lattice.filter(q.reshape(h * w, c)).reshape(h, w, c)
-        else:
-            sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
-            bi = _bilateral_grid_filter(q, rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb)
-        # Potts pairwise: label l is penalized by the filtered mass of OTHER
-        # labels, compat * (S - filtered_l); S = sum_l' filtered_l' is
-        # label-independent and cancels in the softmax, leaving
-        # +compat * filtered_l. The filter's tiny self-contribution is kept
-        # (subtracting the full q instead would add a -compat*q_l
-        # anti-damping term and make the iteration oscillate).
-        energy = log_unary + cfg.crf_g_compat * sp + cfg.crf_bi_compat * bi
-        energy -= energy.max(-1, keepdims=True)
-        e = np.exp(energy)
-        q = e / e.sum(-1, keepdims=True)
-    if method == "permutohedral":
-        lattice.close()
+    try:
+        for _ in range(iters):
+            if method == "exact":
+                sp = _exact_kernel_filter(q, sp_feats)
+                bi = _exact_kernel_filter(q, bi_feats)
+            elif method == "permutohedral":
+                # Spatial kernel: ndimage separable filtering IS the exact
+                # kernel (tests/test_crf.py); the lattice covers the 5-D
+                # bilateral where the grid approximation was the weak link.
+                sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
+                bi = lattice.filter(q.reshape(h * w, c)).reshape(h, w, c)
+            else:
+                sp = _gaussian_filter_xy(q, cfg.crf_g_sxy)
+                bi = _bilateral_grid_filter(
+                    q, rgb, cfg.crf_bi_sxy, cfg.crf_bi_srgb
+                )
+            # Potts pairwise: label l is penalized by the filtered mass of
+            # OTHER labels, compat * (S - filtered_l); S = sum_l' filtered_l'
+            # is label-independent and cancels in the softmax, leaving
+            # +compat * filtered_l. The filter's tiny self-contribution is
+            # kept (subtracting the full q instead would add a -compat*q_l
+            # anti-damping term and make the iteration oscillate).
+            energy = log_unary + cfg.crf_g_compat * sp + cfg.crf_bi_compat * bi
+            energy -= energy.max(-1, keepdims=True)
+            e = np.exp(energy)
+            q = e / e.sum(-1, keepdims=True)
+    finally:
+        # finally: a raising iteration must not leak the native lattice
+        # (one ctypes allocation per image across a full val set).
+        if method == "permutohedral":
+            lattice.close()
     return q
