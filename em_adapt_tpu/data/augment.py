@@ -26,6 +26,19 @@ import numpy as np
 BGR_MEAN = np.array([104.00698793, 116.66876762, 122.67891434], np.float32)
 
 
+def normalize_uint8_device(x):
+    """Device-side uint8 wire contract: raw RGB -> BGR, Caffe-mean
+    subtracted f32 (reference dataset.py:175-177 on host; here it fuses
+    into the first conv's input under jit). The ONE definition shared by
+    DeepLabLargeFOV.apply and the quantized serving path — a drifting
+    copy would silently break int8-vs-f32 parity for uint8 inputs."""
+    import jax.numpy as jnp
+
+    if x.dtype != jnp.uint8:
+        return x
+    return x.astype(jnp.float32)[..., ::-1] - jnp.asarray(BGR_MEAN)
+
+
 def _coords(out_size: int, in_size: int) -> np.ndarray:
     scale = np.float32(in_size) / np.float32(out_size)
     return np.arange(out_size, dtype=np.float32) * scale

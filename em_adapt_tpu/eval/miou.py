@@ -21,10 +21,13 @@ def confusion_matrix(
     pred: jax.Array, gt: jax.Array, num_classes: int
 ) -> jax.Array:
     """[C, C] confusion counts; rows = ground truth, cols = prediction.
-    Pixels with gt >= num_classes (the 255 void label) are ignored."""
+    Pixels with gt >= num_classes (the 255 void label) are ignored, and so
+    are out-of-range predictions (argmax output never produces them, but
+    a caller feeding external/ensemble labels with a wrong class count
+    must not silently corrupt OTHER cells via index wraparound)."""
     pred = pred.reshape(-1).astype(jnp.int32)
     gt = gt.reshape(-1).astype(jnp.int32)
-    valid = gt < num_classes
+    valid = (gt >= 0) & (gt < num_classes) & (pred >= 0) & (pred < num_classes)
     idx = jnp.where(valid, gt * num_classes + pred, num_classes * num_classes)
     counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
     return counts[:-1].reshape(num_classes, num_classes)
@@ -79,7 +82,10 @@ class ConfusionAccumulator:
         total."""
         pred = np.asarray(pred).reshape(-1).astype(np.int64)
         gt = np.asarray(gt).reshape(-1).astype(np.int64)
-        valid = gt < self.num_classes
+        valid = (
+            (gt >= 0) & (gt < self.num_classes)
+            & (pred >= 0) & (pred < self.num_classes)
+        )
         counts = np.bincount(
             gt[valid] * self.num_classes + pred[valid],
             minlength=self.num_classes * self.num_classes,

@@ -28,38 +28,58 @@ _NATIVE_DIR = os.path.join(
 _LIB_NAME = "libemadapt_permutohedral.so"
 _lock = threading.Lock()
 _lib = None
+_load_error: Exception | None = None
 
 
 def _load():
-    global _lib
+    global _lib, _load_error
     with _lock:
+        if _load_error is not None:
+            # A failed build/load is CACHED: dense_crf(method="auto")
+            # probes available() once per image across a full val set,
+            # and re-spawning a failing `make` subprocess ~1449 times
+            # adds minutes to an eval whose fallback is already chosen.
+            raise _load_error
         if _lib is None:
-            path = os.path.join(_NATIVE_DIR, _LIB_NAME)
-            if not os.path.exists(path):
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, _LIB_NAME],
-                    check=True,
-                    capture_output=True,
-                )
-            lib = ctypes.CDLL(path)
-            lib.emadapt_permutohedral_init.restype = ctypes.c_void_p
-            lib.emadapt_permutohedral_init.argtypes = [
-                ctypes.POINTER(ctypes.c_float),  # features [n, d]
-                ctypes.c_int32,  # n
-                ctypes.c_int32,  # d
-            ]
-            lib.emadapt_permutohedral_filter.restype = ctypes.c_int
-            lib.emadapt_permutohedral_filter.argtypes = [
-                ctypes.c_void_p,  # lattice
-                ctypes.POINTER(ctypes.c_float),  # values [n, c]
-                ctypes.POINTER(ctypes.c_float),  # out [n, c]
-                ctypes.c_int32,  # n
-                ctypes.c_int32,  # c
-            ]
-            lib.emadapt_permutohedral_free.restype = None
-            lib.emadapt_permutohedral_free.argtypes = [ctypes.c_void_p]
-            _lib = lib
+            try:
+                _lib = _load_locked()
+            except Exception as e:
+                _load_error = e
+                raise
     return _lib
+
+
+def _load_locked():
+    """Build (if needed), dlopen, and declare the C ABI. Caller holds
+    ``_lock``."""
+    path = os.path.join(_NATIVE_DIR, _LIB_NAME)
+    if not os.path.exists(path):
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, _LIB_NAME],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(path)
+    lib.emadapt_permutohedral_init.restype = ctypes.c_void_p
+    lib.emadapt_permutohedral_init.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # features [n, d]
+        ctypes.c_int32,  # n
+        ctypes.c_int32,  # d
+    ]
+    lib.emadapt_permutohedral_filter.restype = ctypes.c_int
+    lib.emadapt_permutohedral_filter.argtypes = [
+        ctypes.c_void_p,  # lattice
+        ctypes.POINTER(ctypes.c_float),  # values [n, c]
+        ctypes.POINTER(ctypes.c_float),  # out [n, c]
+        ctypes.c_int32,  # n
+        ctypes.c_int32,  # c
+    ]
+    # Touch the symbols eagerly: a stale .so that loads but lacks them
+    # must fail HERE (and be cached as a failure) rather than at first
+    # use inside an eval loop.
+    lib.emadapt_permutohedral_free.restype = None
+    lib.emadapt_permutohedral_free.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def available() -> bool:

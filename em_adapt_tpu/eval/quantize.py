@@ -35,6 +35,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from em_adapt_tpu.config import ModelConfig
@@ -46,12 +47,12 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 
 
 def _preprocess_uint8(x: jax.Array) -> jax.Array:
-    """The compact-wire uint8 contract of DeepLabLargeFOV.apply."""
-    if x.dtype == jnp.uint8:
-        from em_adapt_tpu.data.augment import BGR_MEAN
+    """The compact-wire uint8 contract — the SAME helper
+    DeepLabLargeFOV.apply uses, so int8-vs-f32 parity for uint8 input
+    cannot drift on preprocessing."""
+    from em_adapt_tpu.data.augment import normalize_uint8_device
 
-        x = x.astype(jnp.float32)[..., ::-1] - jnp.asarray(BGR_MEAN)
-    return x
+    return normalize_uint8_device(x)
 
 
 def observe_activation_ranges(cfg: ModelConfig, params, batches) -> dict[str, float]:
@@ -181,13 +182,20 @@ def quantization_agreement(cfg: ModelConfig, params, qparams, batches) -> dict:
 
     model = DeepLabLargeFOV(cfg)
     qmodel = QuantizedDeepLabLargeFOV(cfg)
-    fp = jax.jit(lambda p, x: model.predict(p, x)[1])
-    qp = jax.jit(lambda p, x: qmodel.predict(p, x)[1])
+
+    # One fused dispatch per batch, ONE scalar fetched: pulling the two
+    # full label maps through this rig's ~12 MB/s relay (~5 MB/batch) and
+    # serializing the fp/qp dispatches made the measurement wire-bound
+    # (the in-graph-scalar pattern CLAUDE.md prescribes).
+    @jax.jit
+    def agree_count(params, qparams, x):
+        a = model.predict(params, x)[1]
+        b = qmodel.predict(qparams, x)[1]
+        return jnp.sum(a == b)
+
     agree = total = 0
     for batch in batches:
         x = jnp.asarray(batch)
-        a = jax.device_get(fp(params, x))
-        b = jax.device_get(qp(qparams, x))
-        agree += int((a == b).sum())
-        total += a.size
+        agree += int(agree_count(params, qparams, x))
+        total += int(np.prod(x.shape[:3]))
     return {"pixel_agreement": agree / max(total, 1), "n_pixels": total}

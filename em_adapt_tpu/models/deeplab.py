@@ -305,9 +305,9 @@ class DeepLabLargeFOV:
         on ``plan.num_space_shards == 1``)."""
         cfg = self.cfg
         if x.dtype == jnp.uint8:
-            from em_adapt_tpu.data.augment import BGR_MEAN
+            from em_adapt_tpu.data.augment import normalize_uint8_device
 
-            x = x.astype(jnp.float32)[..., ::-1] - jnp.asarray(BGR_MEAN)
+            x = normalize_uint8_device(x)
         compute_dtype = (
             jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         )

@@ -13,6 +13,7 @@ as ``val_metric`` records when periodic eval is enabled
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -28,13 +29,21 @@ class MetricLogger:
         self._t0 = time.time()
 
     def log(self, metrics: dict, prefix: str = "train") -> None:
+        import numpy as np
+
+        def scalarize(v):
+            # Only 0-d values convert: a length-N ndarray/jax.Array also
+            # defines __float__ but float(it) raises — e.g. a
+            # per_class_iou vector must serialize as a list, not crash
+            # the train loop's log call.
+            if np.ndim(v) == 0 and hasattr(v, "__float__"):
+                return float(v)
+            if hasattr(v, "tolist"):
+                return v.tolist()
+            return v
+
         rec = {"t": round(time.time() - self._t0, 3), "prefix": prefix}
-        rec.update(
-            {
-                k: (float(v) if hasattr(v, "__float__") else v)
-                for k, v in metrics.items()
-            }
-        )
+        rec.update({k: scalarize(v) for k, v in metrics.items()})
         parts = [f"[{prefix}]"]
         for k, v in rec.items():
             if k in ("prefix",):
@@ -45,7 +54,20 @@ class MetricLogger:
                 parts.append(f"{k}={v}")
         print(" ".join(parts), file=self.stream)
         if self._fh:
-            self._fh.write(json.dumps(rec) + "\n")
+            # json.dumps would emit bare NaN/Infinity tokens — invalid
+            # JSON that jq / strict line parsers reject. A diverged loss
+            # is exactly when the JSONL matters, so keep the information
+            # as a parseable string ("nan", "inf", "-inf").
+            def finite(v):
+                if isinstance(v, float) and not math.isfinite(v):
+                    return str(v)
+                if isinstance(v, list):
+                    return [finite(x) for x in v]
+                return v
+
+            self._fh.write(
+                json.dumps({k: finite(v) for k, v in rec.items()}) + "\n"
+            )
 
     def close(self) -> None:
         if self._fh:

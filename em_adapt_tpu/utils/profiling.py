@@ -85,10 +85,18 @@ def measure_estep_us_per_image(
 
         for _ in range(warmup):
             float(run(scores, label, orders))
-        t0 = time.perf_counter()
-        float(run(scores, label, orders))
-        return time.perf_counter() - t0
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(scores, label, orders))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return samples[1]  # median of 3
 
+    # Median-of-3 per chain: a single ~30 ms relay stall landing in the
+    # shorter chain would make the difference negative and stamp
+    # estep_us=0 into every train record of the run (the same rationale
+    # as the round-3 bench protocol's median of dispatch intervals).
     dt = (time_chain(2 * iters) - time_chain(iters)) / iters
     return max(dt, 0.0) / batch_size * 1e6
 
@@ -96,9 +104,15 @@ def measure_estep_us_per_image(
 class StepTimer:
     """Wall-clock timing that blocks on device results.
 
-    Usage: call ``tick(result)`` once per step; read ``mean_ms`` /
-    ``p50_ms`` over the recorded window (warmup steps excluded).
-    """
+    Usage: call ``tick(result)`` once per step; read ``mean_s`` /
+    ``p50_s`` (SECONDS) over the recorded window (warmup excluded).
+
+    CAVEAT (this dev rig): ``jax.block_until_ready`` does NOT sync
+    through the axon relay (CLAUDE.md), so here tick() measures dispatch
+    intervals, not step latency — which is why none of the repo's benches
+    use this class. It is correct on standard hosts (CPU, local TPU);
+    for relay-safe timing reduce to a scalar in-graph and ``float()`` it
+    (see measure_estep_us_per_image / bench.py)."""
 
     def __init__(self, warmup: int = 2):
         self.warmup = warmup
