@@ -26,6 +26,24 @@ import numpy as np
 BGR_MEAN = np.array([104.00698793, 116.66876762, 122.67891434], np.float32)
 
 
+def _finalize_wire(img, lab, wire_dtype: str):
+    """The ONE wire-format tail shared by augment_train and
+    preprocess_eval: ``"uint8"`` ships clip(round(img)) raw-RGB uint8 +
+    uint8 labels (BGR+mean deferred to normalize_uint8_device on device),
+    ``"float32"`` ships the reference contract (BGR mean-subtracted f32 +
+    f32 labels). Two drifting copies of this branch would silently skew
+    train-vs-eval preprocessing."""
+    if wire_dtype == "uint8":
+        out = np.ascontiguousarray(np.clip(np.round(img), 0, 255), np.uint8)
+        return out, (
+            None if lab is None else np.ascontiguousarray(lab, np.uint8)
+        )
+    out = np.ascontiguousarray(_bgr_mean_sub(img), np.float32)
+    return out, (
+        None if lab is None else np.ascontiguousarray(lab, np.float32)
+    )
+
+
 def normalize_uint8_device(x):
     """Device-side uint8 wire contract: raw RGB -> BGR, Caffe-mean
     subtracted f32 (reference dataset.py:175-177 on host; here it fuses
@@ -128,14 +146,7 @@ def augment_train(
         img = img[:, ::-1]
         lab = lab[:, ::-1]
 
-    if wire_dtype == "uint8":
-        return (
-            np.ascontiguousarray(np.clip(np.round(img), 0, 255), np.uint8),
-            np.ascontiguousarray(lab, np.uint8),
-        )
-    return np.ascontiguousarray(_bgr_mean_sub(img), np.float32), (
-        np.ascontiguousarray(lab, np.float32)
-    )
+    return _finalize_wire(img, lab, wire_dtype)
 
 
 def preprocess_eval(
@@ -150,13 +161,9 @@ def preprocess_eval(
     to the device (see :func:`augment_train`)."""
     h, w = input_size
     resized = resize_bilinear_np(img, (h, w))
-    if wire_dtype == "uint8":
-        out = np.clip(np.round(resized), 0, 255).astype(np.uint8)
-    else:
-        out = _bgr_mean_sub(resized).astype(np.float32)
     if label is None:
+        out, _ = _finalize_wire(resized, None, wire_dtype)
         return out, None
     lab = label[:, :, None] if label.ndim == 2 else label
     lab = resize_nearest_np(lab, (h, w))
-    lab_dtype = np.uint8 if wire_dtype == "uint8" else np.float32
-    return out, lab.astype(lab_dtype)
+    return _finalize_wire(resized, lab, wire_dtype)

@@ -52,9 +52,13 @@ def export_params_npy(params, path: str) -> None:
     those layer names and the HWIO layout, so a trained checkpoint can be
     handed BACK to the reference (or to any Caffe-init consumer) as its
     ``init.npy`` / ``model_path`` input — the reverse of
-    ``ModelConfig.init_model_path``. Round trip is exact:
-    ``load_caffe_init(path)`` -> ``init_params(..., init_model=...)``
-    reproduces the tree bit-for-bit (tests/test_export.py).
+    ``ModelConfig.init_model_path``. The FILE holds every layer exactly
+    (fc8 included, bit-for-bit through ``load_caffe_init``); note however
+    that the init.npy CONSUMERS re-initialize fc8 by contract (reference
+    deeplab.py:156-167, mirrored in ``init_params``) — the trained
+    classifier head survives in the file but a warm start from it gets a
+    fresh Xavier fc8, exactly as the reference's own init.npy workflow
+    does (tests/test_export.py pins both facts).
     """
     import numpy as np
 

@@ -23,7 +23,6 @@ deeplab.py:188-208, :243-262):
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from em_adapt_tpu.config import OptimConfig
@@ -37,6 +36,15 @@ def lr_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     """
     boundaries = {}
     prev = cfg.base_lr
+    epochs = [e for e, _ in cfg.lr_schedule]
+    if len(set(epochs)) != len(epochs):
+        # A duplicate epoch would OVERWRITE its boundary's scale with the
+        # ratio of the two conflicting LRs (e.g. ((10,1e-4),(10,1e-5))
+        # silently applies 1e-2 — 10x the BASE lr) while lr_at logs a
+        # sane value. No legitimate schedule has two drops at one epoch.
+        raise ValueError(
+            f"optim.lr_schedule has duplicate epoch boundaries: {epochs}"
+        )
     # sorted: the scale chain (each boundary's scale = lr / previous lr)
     # is only correct in ascending epoch order — an unsorted override
     # like ((20,1e-5),(10,1e-4)) would otherwise build a chain whose
@@ -127,7 +135,3 @@ def build_optimizer(
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, sched
-
-
-def current_lr(sched: optax.Schedule, step) -> jax.Array:
-    return jnp.asarray(sched(step))

@@ -687,3 +687,11 @@ def test_tail_flush_takes_lr_snapshot_and_norm_save(rng, tmp_path):
     assert trainer.checkpointer.latest_step("lr") == 6
     assert trainer.checkpointer.latest_step("norm") == 5
     trainer.checkpointer.close()
+
+
+def test_lr_schedule_rejects_duplicate_epochs():
+    """Duplicate epoch boundaries would overwrite each other's scale and
+    silently apply up to 10x the BASE lr (review finding)."""
+    cfg = OptimConfig(base_lr=1e-3, lr_schedule=((10, 1e-4), (10, 1e-5)))
+    with pytest.raises(ValueError, match="duplicate epoch"):
+        lr_schedule(cfg, steps_per_epoch=10)
