@@ -53,12 +53,18 @@ def _load_locked():
     """Build (if needed), dlopen, and declare the C ABI. Caller holds
     ``_lock``."""
     path = os.path.join(_NATIVE_DIR, _LIB_NAME)
-    if not os.path.exists(path):
+    # Always invoke make (dependency-tracked no-op when fresh) so an
+    # edited permutohedral.cpp is never silently served stale; a host
+    # with a prebuilt .so but no toolchain still works.
+    try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR, _LIB_NAME],
             check=True,
             capture_output=True,
         )
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(path):
+            raise
     lib = ctypes.CDLL(path)
     lib.emadapt_permutohedral_init.restype = ctypes.c_void_p
     lib.emadapt_permutohedral_init.argtypes = [

@@ -253,13 +253,11 @@ def estep_labels(
         if n_dev > 1 and not can_shard:
             import warnings
 
-            why = (
-                f"a mesh whose {data_axis!r} axis ({n_data}) does not "
-                f"divide the batch ({b}) — make the batch divisible"
-                if mesh is not None
-                else "no mesh to shard_map over — pass mesh=/data_axis= "
-                "(the trainer does)"
+            from em_adapt_tpu.parallel.mesh import (
+                shard_map_ineligibility_reason,
             )
+
+            why = shard_map_ineligibility_reason(mesh, data_axis, b)
             warnings.warn(
                 "estep.impl='pallas' on >1 device with "
                 f"{why}, or use impl='auto'. As-is, GSPMD has no "

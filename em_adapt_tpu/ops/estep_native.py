@@ -25,8 +25,25 @@ _lib = None
 
 def _build_library() -> str:
     path = os.path.join(_NATIVE_DIR, _LIB_NAME)
-    if not os.path.exists(path):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    # Always invoke make: the Makefile's dependency tracking makes this a
+    # ~50 ms no-op when the .so is fresh, and an EDITED estep.cpp would
+    # otherwise be silently served by the stale binary — breaking the
+    # pixel-identical cross-check this binding exists for. A host with a
+    # prebuilt .so but no toolchain still works (warn, use as-is).
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, _LIB_NAME],
+            check=True, capture_output=True,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(path):
+            raise
+        import warnings
+
+        warnings.warn(
+            f"make failed in {_NATIVE_DIR}; using the existing {_LIB_NAME} "
+            "(may be stale if native sources changed)"
+        )
     return path
 
 

@@ -176,6 +176,30 @@ def shard_map_eligibility(
     return can_shard, n_data, batch // n_data if can_shard else batch
 
 
+def shard_map_ineligibility_reason(mesh, data_axis: str, batch: int) -> str:
+    """Human-readable reason why :func:`shard_map_eligibility` said no —
+    shared by the forced-pallas fallback warnings (ops/estep.py,
+    models/deeplab.py) so the diagnostic matches the actual failing
+    clause (a size-1 mesh used to be misreported as a divisibility
+    problem)."""
+    if mesh is None:
+        return (
+            "no mesh to shard_map over — pass mesh=/data_axis= "
+            "(the trainer does)"
+        )
+    if mesh.size <= 1:
+        return (
+            f"a single-device mesh that cannot cover the "
+            f"{jax.device_count()} devices — build the mesh over all of "
+            "them (make_mesh does)"
+        )
+    n_data = dict(mesh.shape).get(data_axis, 1)
+    return (
+        f"a mesh whose {data_axis!r} axis ({n_data}) does not divide "
+        f"the batch ({batch}) — make the batch divisible"
+    )
+
+
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> MeshPlan:
     """Build the mesh. Axis size -1 absorbs all remaining devices."""
     cfg = cfg or MeshConfig()

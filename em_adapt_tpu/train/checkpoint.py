@@ -27,15 +27,20 @@ class CheckpointManager:
     def __init__(self, cfg: CheckpointConfig):
         self.cfg = cfg
         self._managers: dict[str, ocp.CheckpointManager] = {}
-        #: steps THIS process already saved per tag (lineage tracking for
-        #: the duplicate-step rule in :meth:`save`)
-        self._saved_steps: dict[str, set[int]] = {}
 
     def _manager(self, tag: str) -> ocp.CheckpointManager:
         if tag not in self._managers:
             path = os.path.abspath(os.path.join(self.cfg.save_dir, tag))
+            # Retention: "norm" rolls (reference network.py:100
+            # max_to_keep=2); "best" also rolls — only the latest best is
+            # ever restored, and keep-all grew one full TrainState
+            # (params + momentum + accumulators) per eval improvement;
+            # "lr" keeps all (exactly len(lr_schedule) snapshots per run,
+            # each a distinct reference-contract artifact,
+            # reference deeplab.py:248).
+            keep = self.cfg.max_to_keep if tag in ("norm", "best") else None
             options = ocp.CheckpointManagerOptions(
-                max_to_keep=self.cfg.max_to_keep if tag == "norm" else None,
+                max_to_keep=keep,
                 enable_async_checkpointing=self.cfg.async_save,
             )
             self._managers[tag] = ocp.CheckpointManager(path, options=options)
@@ -44,22 +49,19 @@ class CheckpointManager:
     def save(self, state, *, tag: str = "norm") -> None:
         step = int(jax.device_get(state.step))
         mgr = self._manager(tag)
-        seen = self._saved_steps.setdefault(tag, set())
-        if step in seen:
-            # Same step saved by THIS run: the state is identical (the
-            # step counter advances inside the jitted step), so skipping
-            # is correct — a preemption signal landing right after a
-            # cadence save, or the final save coinciding with a cadence
-            # boundary. orbax would raise StepAlreadyExistsError.
-            return
         if step in mgr.all_steps():
-            # Same step from a DIFFERENT run reusing this save_dir (e.g.
-            # a warm-start fine-tune writing in place): the state is NOT
-            # the old one — newest write wins, silently keeping the stale
-            # checkpoint would be data loss.
+            # Step collision: a legitimate re-save of the same state (a
+            # preemption signal right after a cadence save; the final
+            # save landing on a cadence boundary) or a DIFFERENT lineage
+            # reusing the save_dir (warm-start fine-tune in place, or a
+            # second fit() on one process). The states can differ, so
+            # newest-write-wins is the only always-correct rule: rewrite
+            # unconditionally (orbax would raise StepAlreadyExistsError).
+            # An in-flight async save of this very step must finish
+            # before the delete or they race on the step directory.
+            mgr.wait_until_finished()
             mgr.delete(step)
         mgr.save(step, args=ocp.args.StandardSave(state))
-        seen.add(step)
 
     def restore(self, template, *, tag: str = "norm", step: int | None = None):
         """Restore into the structure of ``template`` (an abstract or
