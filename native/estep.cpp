@@ -70,6 +70,10 @@ int emadapt_estep(const float* scores, float* out, const int32_t* labels,
   const int64_t img_elems = HW * C;
   std::memcpy(out, scores, size_t(B) * img_elems * sizeof(float));
 
+  // Allocation failures must surface as the documented error code, not
+  // unwind through the C ABI into ctypes (std::terminate).
+  try {
+
   // Image-level tags from the (uint8-wrapped) label ids.
   std::vector<uint8_t> tags(size_t(B) * C, 0);
   for (int b = 0; b < B; ++b) {
@@ -153,6 +157,10 @@ int emadapt_estep(const float* scores, float* out, const int32_t* labels,
     for (int64_t i = 0; i < img_elems; ++i) img[i] += shift;
   }
   return 0;
+
+  } catch (const std::exception&) {
+    return 3;  // allocation failure
+  }
 }
 
 }  // extern "C"

@@ -29,6 +29,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <unordered_map>
 #include <vector>
 
@@ -74,11 +75,10 @@ struct Lattice {
 
 }  // namespace
 
-extern "C" void* emadapt_permutohedral_init(const float* features,  // [n, d]
-                                            int32_t n, int32_t d) {
-  if (n <= 0 || d <= 0 || d > 16) return nullptr;
+static Lattice* lattice_init(const float* features, int32_t n, int32_t d) {
   const int dp1 = d + 1;
-  auto* L = new Lattice;
+  std::unique_ptr<Lattice> owned(new Lattice);
+  Lattice* L = owned.get();
   L->n = n;
   L->d = d;
   L->vert.resize(static_cast<size_t>(n) * dp1);
@@ -182,14 +182,21 @@ extern "C" void* emadapt_permutohedral_init(const float* features,  // [n, d]
   const int32_t nl = L->n_lattice;
   L->nplus.assign(static_cast<size_t>(dp1) * nl, -1);
   L->nminus.assign(static_cast<size_t>(dp1) * nl, -1);
+  std::vector<int16_t> kbuf(d);
   for (int a = 0; a <= d; a++) {
     for (int32_t id = 0; id < nl; id++) {
-      const int16_t* k = keys.data() + static_cast<size_t>(id) * d;
+      // COPY the key before appending the probe key: keys.resize() can
+      // reallocate the vector (reachable whenever capacity == size here,
+      // e.g. n=1, d=1), and a raw pointer into the old buffer would be
+      // a use-after-free read feeding garbage neighbor topology.
+      std::copy(keys.begin() + static_cast<size_t>(id) * d,
+                keys.begin() + static_cast<size_t>(id + 1) * d,
+                kbuf.begin());
       size_t base = keys.size();
       keys.resize(base + d);
       for (int i = 0; i < d; i++)
-        keys[base + i] = static_cast<int16_t>(k[i] + 1);
-      if (a < d) keys[base + a] = static_cast<int16_t>(k[a] - d);
+        keys[base + i] = static_cast<int16_t>(kbuf[i] + 1);
+      if (a < d) keys[base + a] = static_cast<int16_t>(kbuf[a] - d);
       auto it = table.find(nl);
       keys.resize(base);
       if (it != table.end())
@@ -198,15 +205,28 @@ extern "C" void* emadapt_permutohedral_init(const float* features,  // [n, d]
       base = keys.size();
       keys.resize(base + d);
       for (int i = 0; i < d; i++)
-        keys[base + i] = static_cast<int16_t>(k[i] - 1);
-      if (a < d) keys[base + a] = static_cast<int16_t>(k[a] + d);
+        keys[base + i] = static_cast<int16_t>(kbuf[i] - 1);
+      if (a < d) keys[base + a] = static_cast<int16_t>(kbuf[a] + d);
       it = table.find(nl);
       keys.resize(base);
       if (it != table.end())
         L->nminus[static_cast<size_t>(a) * nl + id] = it->second;
     }
   }
-  return L;
+  return owned.release();
+}
+
+extern "C" void* emadapt_permutohedral_init(const float* features,  // [n, d]
+                                            int32_t n, int32_t d) {
+  if (n <= 0 || d <= 0 || d > 16) return nullptr;
+  // A std::bad_alloc (large n on a constrained host) must not unwind
+  // through the C ABI into ctypes (std::terminate would kill the whole
+  // Python process); a null return lets dense_crf's "auto" fall back.
+  try {
+    return lattice_init(features, n, d);
+  } catch (const std::exception&) {
+    return nullptr;
+  }
 }
 
 extern "C" int emadapt_permutohedral_filter(void* lattice,
@@ -218,8 +238,12 @@ extern "C" int emadapt_permutohedral_filter(void* lattice,
   const int d = L->d, dp1 = d + 1;
   const int32_t nl = L->n_lattice;
 
-  L->lat.assign(static_cast<size_t>(nl) * c, 0.0f);
-  L->lat2.resize(static_cast<size_t>(nl) * c);
+  try {
+    L->lat.assign(static_cast<size_t>(nl) * c, 0.0f);
+    L->lat2.resize(static_cast<size_t>(nl) * c);
+  } catch (const std::exception&) {
+    return 2;  // allocation failure: error code, never unwind into ctypes
+  }
 
   // Splat.
   for (int32_t p = 0; p < n; p++) {

@@ -104,3 +104,53 @@ print("ASAN_OK")
         ["python", str(driver)], capture_output=True, text=True, env=env
     )
     assert "ASAN_OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_tiny_lattice_reallocation_regression(tmp_path):
+    """n=1, d=1 leaves keys.capacity() == keys.size() entering the
+    neighbor-table build, where a raw pointer into the vector used to be
+    read AFTER a reallocating resize (use-after-free; review finding).
+    Run under ASan so the regression would be caught as a hard error,
+    and check the filter output is still the exact constant-field
+    identity."""
+    r = subprocess.run(
+        ["make", "-C", NATIVE_DIR, "libemadapt_permutohedral_asan.so"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    asan_lib = os.path.join(NATIVE_DIR, "libemadapt_permutohedral_asan.so")
+    driver = tmp_path / "tiny_driver.py"
+    driver.write_text(
+        f"""
+import ctypes, numpy as np
+lib = ctypes.CDLL({asan_lib!r})
+lib.emadapt_permutohedral_init.restype = ctypes.c_void_p
+lib.emadapt_permutohedral_filter.restype = ctypes.c_int
+for n, d in [(1, 1), (1, 3), (2, 1), (3, 2)]:
+    feats = np.linspace(-1, 1, n * d).astype(np.float32).reshape(n, d)
+    vals = np.concatenate([np.full((n, 1), 0.625, np.float32),
+                           np.ones((n, 1), np.float32)], axis=1)
+    out = np.empty_like(vals)
+    h = lib.emadapt_permutohedral_init(
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d)
+    assert h, (n, d)
+    rc = lib.emadapt_permutohedral_filter(
+        ctypes.c_void_p(h),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, 2)
+    assert rc == 0, rc
+    ratio = out[:, 0] / out[:, 1]
+    assert np.allclose(ratio, 0.625, atol=1e-5), (n, d, ratio)
+    lib.emadapt_permutohedral_free(ctypes.c_void_p(h))
+print("TINY_OK")
+"""
+    )
+    find = subprocess.run(
+        ["gcc", "-print-file-name=libasan.so"], capture_output=True, text=True
+    )
+    env = dict(os.environ, LD_PRELOAD=find.stdout.strip(),
+               ASAN_OPTIONS="detect_leaks=0")
+    r = subprocess.run(
+        ["python", str(driver)], capture_output=True, text=True, env=env
+    )
+    assert "TINY_OK" in r.stdout, r.stdout + r.stderr
