@@ -186,3 +186,61 @@ def test_estep_zero_iterations_reduces_to_suppressed_argmax(rng):
                                 jnp.asarray(orders), num_iter=0))
     np.testing.assert_array_equal(j.argmax(3), want.argmax(3))
     np.testing.assert_array_equal(p.argmax(3), want.argmax(3))
+
+
+def test_edge_parameter_fuzz_all_impls_agree(rng):
+    """Edge-of-parameter-space fuzz across oracle / JAX / native (when
+    built): the regimes where the reference's own native kernel was
+    broken — ALL-NEGATIVE score maps (its FLT_MIN running-max seed),
+    extreme percentiles (k = int(HW*p) at 0 and near HW), single-class
+    images, suppression off, zero margin. Argmax must stay
+    pixel-identical; scores to the documented 2e-5."""
+    from em_adapt_tpu.ops.estep_native import estep_native, _load
+
+    try:
+        _load()
+        have_native = True
+    except Exception:
+        have_native = False  # no toolchain on this host
+    cases = [
+        # (b, h, w, c, bg_p, fg_p, suppress, margin, score_offset)
+        (2, 7, 9, 5, 0.0, 0.0, True, 1e-5, 0.0),       # k=0: bias = min diff
+        (2, 7, 9, 5, 0.99, 0.99, True, 1e-5, 0.0),     # k near HW
+        (3, 11, 11, 6, 0.4, 0.2, True, 1e-5, -100.0),  # all-negative scores
+        (2, 8, 8, 4, 0.4, 0.2, False, 1e-5, 0.0),      # suppression off
+        (2, 8, 8, 4, 0.4, 0.2, True, 0.0, 0.0),        # zero margin
+        (1, 5, 5, 3, 0.7, 0.1, True, 1.0, 50.0),       # huge margin/offset
+    ]
+    for i, (b, h, w, c, bg, fg, sup, margin, off) in enumerate(cases):
+        scores = (rng.normal(size=(b, h, w, c)) + off).astype(np.float32)
+        label = rng.integers(0, c + 2, size=(b, h, w)).astype(np.float32)
+        label[label >= c] = 255.0
+        if i == 2:
+            label[0] = 0.0  # single-class (bg-only) image in the batch
+        orders = np.stack(
+            [rng.permutation(np.arange(1, c)) for _ in range(4)]
+        ).astype(np.int32)
+        kw = dict(bg_p=bg, fg_p=fg, num_iter=4, suppress_others=sup,
+                  margin_others=margin)
+        want = estep_oracle(scores, label, orders=orders, **kw)
+        # The HARD contract is the argmax label map (pixel-identical).
+        # Scores carry f32 reduction-order noise proportional to their
+        # magnitude (the ~2e-5 figure is for O(1) production-scale
+        # maps), so the score tolerance scales with max|score|.
+        atol = 2e-5 * max(1.0, float(np.abs(want).max()))
+        got = np.asarray(estep_jax(
+            jnp.asarray(scores), jnp.asarray(label), jnp.asarray(orders), **kw
+        ))
+        np.testing.assert_array_equal(
+            got.argmax(3), want.argmax(3), err_msg=f"case {i}: jax argmax"
+        )
+        np.testing.assert_allclose(got, want, atol=atol, rtol=0,
+                                   err_msg=f"case {i}: jax scores")
+        if have_native:
+            nat = estep_native(scores, label.astype(np.int32), orders, **kw)
+            np.testing.assert_array_equal(
+                nat.argmax(3), want.argmax(3),
+                err_msg=f"case {i}: native argmax",
+            )
+            np.testing.assert_allclose(nat, want, atol=atol, rtol=0,
+                                       err_msg=f"case {i}: native scores")
