@@ -237,6 +237,16 @@ class EvalConfig:
     #: Host threads refining images in parallel during evaluate_voc (the
     #: CRF is numpy/scipy + the native lattice, which releases the GIL).
     crf_workers: int = 4
+    #: Where the CRF runs during evaluate_voc: "host" (numpy/scipy +
+    #: native permutohedral lattice on a worker pool) or "tpu" (the whole
+    #: post-process — dynamic-size bilinear upsample, softmax, mean-field
+    #: CRF, argmax — in ONE jitted batched graph on the accelerator; see
+    #: eval/crf_tpu.py). Per-image dense_crf() calls are unaffected.
+    crf_impl: str = "host"
+    #: Static padding bucket (H, W) for the "tpu" CRF path — images pad
+    #: into one compiled shape; must cover the dataset's largest image
+    #: (VOC maxes at 500x500).
+    crf_bucket: tuple[int, int] = (512, 512)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -136,19 +136,25 @@ def dense_crf(
       method: "auto" (native permutohedral lattice when buildable, else
         bilateral grid), "permutohedral" (force the native lattice —
         measured 2.5x closer to the exact kernel than the grid),
-        "grid" (pure-numpy bilateral-grid approximation), or "exact"
-        (brute-force O((HW)^2) kernels — the validation oracle, tiny
-        images only).
+        "grid" (pure-numpy bilateral-grid approximation), "tpu" (the same
+        grid algorithm on the default JAX device — see eval/crf_tpu.py;
+        per-image dispatch, prefer make_crf_tpu batches for throughput),
+        or "exact" (brute-force O((HW)^2) kernels — the validation
+        oracle, tiny images only).
 
     Returns:
       [H, W, C] refined probabilities.
     """
     cfg = cfg or EvalConfig()
-    if method not in ("auto", "permutohedral", "grid", "exact"):
+    if method not in ("auto", "permutohedral", "grid", "exact", "tpu"):
         raise ValueError(
-            f"method={method!r}: expected 'auto', 'permutohedral', 'grid' "
-            "or 'exact'"
+            f"method={method!r}: expected 'auto', 'permutohedral', 'grid', "
+            "'tpu' or 'exact'"
         )
+    if method == "tpu":
+        from em_adapt_tpu.eval.crf_tpu import dense_crf_tpu
+
+        return dense_crf_tpu(probs, rgb, cfg, num_iterations=num_iterations)
     if method == "auto":
         from em_adapt_tpu.eval.permutohedral import available
 

@@ -61,6 +61,8 @@ class Evaluator:
         eval_cfg: EvalConfig = self.cfg.eval
         use_crf = eval_cfg.use_crf if use_crf is None else use_crf
         bs = batch_size or eval_cfg.batch_size
+        if use_crf and eval_cfg.crf_impl == "tpu":
+            return self._evaluate_voc_device(params, dataset, bs)
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
 
         # Per-image post-processing (TF1 bilinear upsample to the original
@@ -151,4 +153,105 @@ class Evaluator:
                     drain(4 * workers)
             flush(pool)
             drain(0)
+        return acc.result()
+
+    def _make_device_voc_post(self, bucket: tuple[int, int]):
+        """One jitted batched graph for the whole VOC post-process:
+        TF1 bilinear upsample of the 41x41 score map to each image's
+        ORIGINAL size (traced, inside a static bucket), softmax,
+        mean-field denseCRF, argmax. Device-side twin of the host
+        _post() above (reference network.py:39-41 + :63); only uint8
+        guide images go up and uint8 label maps come back — no
+        probability maps cross the host link."""
+        import functools
+
+        from em_adapt_tpu.eval.crf_tpu import _crf_refine_one
+        from em_adapt_tpu.ops.resize import resize_bilinear_tf_dynamic
+
+        cfg = self.cfg.eval
+        refine = functools.partial(
+            _crf_refine_one,
+            bi_sxy=float(cfg.crf_bi_sxy),
+            bi_srgb=float(cfg.crf_bi_srgb),
+            bi_compat=float(cfg.crf_bi_compat),
+            g_sxy=float(cfg.crf_g_sxy),
+            g_compat=float(cfg.crf_g_compat),
+            iterations=int(cfg.crf_iterations),
+        )
+        bh, bw = bucket
+
+        def one(lg, rgb, size):
+            up = resize_bilinear_tf_dynamic(lg, size, (bh, bw))
+            mask = (
+                (jnp.arange(bh)[:, None] < size[0])
+                & (jnp.arange(bw)[None, :] < size[1])
+            )
+            e = jnp.exp(up - up.max(-1, keepdims=True))
+            probs = e / e.sum(-1, keepdims=True)
+            q = refine(probs, rgb, mask.astype(jnp.float32))
+            return jnp.argmax(q, axis=-1).astype(jnp.uint8)
+
+        return jax.jit(jax.vmap(one))
+
+    def _evaluate_voc_device(
+        self, params, dataset, bs: int
+    ) -> tuple[float, np.ndarray]:
+        """Exact VOC protocol with the post-process ON DEVICE
+        (EvalConfig.crf_impl="tpu"): logits stay on the accelerator,
+        the CRF runs batched in jit, and only [H,W] uint8 label maps
+        return to the host for the confusion sum. One compile for the
+        whole val set (images pad into EvalConfig.crf_bucket)."""
+        from em_adapt_tpu.data.augment import preprocess_eval
+
+        eval_cfg: EvalConfig = self.cfg.eval
+        bh, bw = eval_cfg.crf_bucket
+        acc = ConfusionAccumulator(self.cfg.model.num_classes)
+        post = self._make_device_voc_post((bh, bw))
+
+        pend_imgs: list[np.ndarray] = []
+        pend_raw: list[tuple[np.ndarray, np.ndarray]] = []
+
+        def flush():
+            if not pend_imgs:
+                return
+            n = len(pend_imgs)
+            stack = np.stack(pend_imgs)
+            if n < bs:
+                stack = np.concatenate(
+                    [stack, np.zeros((bs - n,) + stack.shape[1:], stack.dtype)]
+                )
+            logits = self._jit_logits(params, jnp.asarray(stack))
+            rgbs = np.zeros((bs, bh, bw, 3), np.uint8)
+            # Padded tail images keep size (1,1): a nonzero size keeps the
+            # dynamic-resize division finite (0 would put NaNs through that
+            # lane's CRF); their outputs are never read.
+            sizes = np.ones((bs, 2), np.int32)
+            for i, (raw_img, raw_label) in enumerate(pend_raw):
+                oh, ow = raw_label.shape[:2]
+                if oh > bh or ow > bw:
+                    raise ValueError(
+                        f"image {oh}x{ow} exceeds eval.crf_bucket "
+                        f"({bh}, {bw}); raise the bucket"
+                    )
+                rgbs[i, :oh, :ow] = raw_img
+                sizes[i] = (oh, ow)
+            labels = np.asarray(
+                post(logits, jnp.asarray(rgbs), jnp.asarray(sizes))
+            )
+            for i, (_, raw_label) in enumerate(pend_raw):
+                oh, ow = raw_label.shape[:2]
+                acc.update_host(labels[i, :oh, :ow].astype(np.int32), raw_label)
+            pend_imgs.clear()
+            pend_raw.clear()
+
+        for i in range(len(dataset)):
+            raw_img, raw_label = dataset.load_raw(i)
+            img, _ = preprocess_eval(
+                raw_img, None, input_size=self.cfg.model.input_size
+            )
+            pend_imgs.append(img)
+            pend_raw.append((raw_img, raw_label))
+            if len(pend_imgs) == bs:
+                flush()
+        flush()
         return acc.result()

@@ -85,3 +85,49 @@ def resize_bilinear_tf(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     bot = bl + (br - bl) * tx_
     out = top + (bot - top) * ty_
     return out[0] if squeeze else out
+
+
+def resize_bilinear_tf_dynamic(
+    x: jax.Array, out_hw: jax.Array, bucket: tuple[int, int]
+) -> jax.Array:
+    """TF1 bilinear upsample of [H,W,C] to a TRACED size inside a static
+    bucket — the on-device eval path's upsampler.
+
+    ``out_hw`` is a traced int32 [2] (the image's original size); the
+    result is a [bucket_h, bucket_w, C] array whose top-left
+    ``out_hw``-sized region is the TF1-grid bilinear resize (same
+    coordinate map as resize_bilinear_tf: src = i * in/out, legacy
+    align_corners=False); rows/cols beyond out_hw are clamped-edge
+    garbage the caller must mask. Unlike the static op, the grid is
+    computed on device with traced sizes, so XLA's reciprocal-multiply
+    f32 division can differ from TF's IEEE divide by 1 ulp — immaterial
+    for the CRF/argmax consumer (tests quantify exact agreement with the
+    static twin), but do NOT swap it into paths with bit-exactness
+    contracts (E-step tag parity uses resize_nearest_tf).
+    """
+    in_h, in_w, _ = x.shape
+    bh, bw = bucket
+    x = x.astype(jnp.float32)
+    oh = out_hw[0].astype(jnp.float32)
+    ow = out_hw[1].astype(jnp.float32)
+
+    def axis(out_size: int, in_size: int, out_n):
+        src = jnp.arange(out_size, dtype=jnp.float32) * (
+            jnp.float32(in_size) / out_n
+        )
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        t = src - lo.astype(jnp.float32)
+        return lo, hi, t
+
+    y_lo, y_hi, ty = axis(bh, in_h, oh)
+    x_lo, x_hi, tx = axis(bw, in_w, ow)
+    tl = x[y_lo][:, x_lo]
+    tr = x[y_lo][:, x_hi]
+    bl = x[y_hi][:, x_lo]
+    br = x[y_hi][:, x_hi]
+    tx_ = tx[None, :, None]
+    ty_ = ty[:, None, None]
+    top = tl + (tr - tl) * tx_
+    bot = bl + (br - bl) * tx_
+    return top + (bot - top) * ty_

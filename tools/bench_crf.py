@@ -17,9 +17,15 @@ on tiny test images. This tool measures both:
   hyperparameters (bilateral sxy=121, srgb=5 — the big-cell regime the
   round-2 tiny-image probes never exercised).
 
+Round-3 addition: --tpu measures the on-device batched CRF
+(eval/crf_tpu.py) with the repo's slope protocol — the 10-iteration
+refinement cost is t(2K iters) - t(K iters), which cancels the constant
+per-dispatch relay round trip (CLAUDE.md), with an in-graph scalar
+reduction as the only fetch.
+
 Prints one JSON line per measurement. Usage:
     python tools/bench_crf.py [--size 375x500] [--images 4] [--threads 4]
-                              [--skip-exact]
+                              [--skip-exact] [--tpu] [--tpu-only]
 """
 
 from __future__ import annotations
@@ -57,6 +63,59 @@ def _synthetic_image(h: int, w: int, seed: int) -> tuple[np.ndarray, np.ndarray]
     return rgb, (e / e.sum(-1, keepdims=True)).astype(np.float32)
 
 
+def _bench_tpu(args, cfg, data, h: int, w: int) -> None:
+    """Slope-protocol device timing of the batched CRF: the K-iteration
+    mean-field cost = t(2K) - t(K) per batch (splat/blur/slice all sit
+    inside the fori_loop body, so compute scales linearly in iterations
+    while the dispatch constant cancels)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.eval.crf_tpu import _compiled_scalar_probe
+
+    rgbs = np.stack([rgb for rgb, _ in data])
+    probs = np.stack([p for _, p in data])
+    masks = np.ones(probs.shape[:3], np.float32)
+    k = cfg.crf_iterations
+
+    def timed(iters: int) -> float:
+        fn = _compiled_scalar_probe(cfg, iters)
+        p, r, m = jnp.asarray(probs), jnp.asarray(rgbs), jnp.asarray(masks)
+        float(fn(p, r, m))  # compile + warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(fn(p, r, m))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = timed(k), timed(2 * k)
+    per_image = (t2 - t1) / len(data)
+    print(json.dumps({
+        "bench": "crf_throughput", "method": "tpu_grid",
+        "device": jax.devices()[0].device_kind, "size": f"{h}x{w}",
+        "batch": len(data), "iterations": k,
+        "s_per_image": round(per_image, 5),
+        "images_per_sec": round(1 / per_image, 2),
+        "full_val_minutes": round(per_image * 1449 / 60, 2),
+    }), flush=True)
+
+    # sanity: device output must match the host grid path on one image
+    from em_adapt_tpu.eval.crf import dense_crf
+    from em_adapt_tpu.eval.crf_tpu import dense_crf_tpu
+
+    rgb0, p0 = data[0]
+    got = dense_crf_tpu(p0, rgb0, cfg)
+    want = dense_crf(p0, rgb0, cfg, method="grid")
+    print(json.dumps({
+        "bench": "crf_tpu_vs_host_grid", "size": f"{h}x{w}",
+        "label_agreement": round(float((got.argmax(-1) == want.argmax(-1)).mean()), 5),
+        "prob_mae": float(f"{np.abs(got - want).mean():.3g}"),
+    }), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="375x500")
@@ -65,7 +124,12 @@ def main() -> None:
     ap.add_argument("--exact-size", type=int, default=128)
     ap.add_argument("--exact-iters", type=int, default=2)
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="also bench the on-device batched CRF")
+    ap.add_argument("--tpu-only", action="store_true")
     args = ap.parse_args()
+    if args.tpu_only:
+        args.tpu = True
 
     from em_adapt_tpu.config import EvalConfig
     from em_adapt_tpu.eval.crf import (
@@ -83,6 +147,11 @@ def main() -> None:
         cases.insert(0, ("permutohedral", "permutohedral"))
 
     data = [_synthetic_image(h, w, s) for s in range(args.images)]
+
+    if args.tpu:
+        _bench_tpu(args, cfg, data, h, w)
+        if args.tpu_only:
+            return
 
     for name, method in cases:
         # single-threaded cost of the full 10-iteration refinement
