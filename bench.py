@@ -6,10 +6,25 @@ Prints ONE JSON line:
 Protocol
 --------
 Measures the steady-state jitted EM train step — forward (bf16 MXU
-compute) + on-device E-step + CE loss + backward + accumulated
-SGD-momentum update — at the reference's production configuration:
-batch 6, 321x321, 21 classes, E-step (bg_p=0.4, fg_p=0.2, 5 iters),
-gradient accumulation 5 (reference deeplab.py:288-294, :181).
+compute) + on-device E-step + CE loss + backward + SGD-momentum update —
+at the reference's production recipe: 321x321, 21 classes, E-step
+(bg_p=0.4, fg_p=0.2, 5 iters), effective batch 30 (reference
+deeplab.py:288-294, :181).
+
+The reference realizes its effective batch as 6 x grad-accum 5
+(sequential microbatching — its GPU could not hold batch 30,
+deeplab.py:202-205). On TPU the same recipe runs FOLDED: one batch-30
+step, accumulation 1 — the same update math (the CE loss is a pixel
+mean, so the batch-30 mean equals the mean of five batch-6 means;
+weight decay, momentum, and the epoch-indexed LR schedule are
+per-update identical — pinned end-to-end by tests/test_trainer.py::
+test_folded_batch_matches_accumulation, with the E-step's per-image
+batch-independence pinned by test_estep_labels_batch_independent;
+residual differences are RNG granularity the reference never pinned
+plus conv reduction-order ulps) at batch-30 MFU instead of batch-6
+MFU: measured ~174 vs 115 img/s/chip (PROFILE.md batch-scaling
+table). ``--micro`` reproduces the reference-granularity
+batch-6 x accum-5 execution instead.
 
 ``vs_baseline`` divides by the measured CPU TF reference-equivalent
 throughput: 0.094 images/sec (63.6 s/step) — the same per-step work
@@ -41,7 +56,7 @@ import numpy as np
 CPU_TF_BASELINE_IMAGES_PER_SEC = 0.094
 
 
-def main() -> None:
+def main(micro: bool = False) -> None:
     import jax
 
     from em_adapt_tpu.config import ExperimentConfig, MeshConfig, ModelConfig
@@ -49,20 +64,26 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/em_adapt_jax_cache")
     n_dev = jax.device_count()
-    K = 10  # microsteps fused per dispatch
+    K = 10  # steps fused per dispatch
     cfg = ExperimentConfig(
         model=ModelConfig(compute_dtype="bfloat16"),
         mesh=MeshConfig(axes=(("data", n_dev),)),
     )
-    # Per-chip batch 6 (the reference's), scaled by data parallelism.
+    # Effective batch 30/chip (the reference's batch 6 x accum 5), scaled
+    # by data parallelism. Folded by default: one batch-30 step, accum 1
+    # (see module docstring); --micro runs the reference's granularity.
     # rng_impl="rbg": the TPU hardware RNG for dropout masks — threefry
     # mask generation alone cost ~32 ms/step at this shape (PROFILE.md).
-    batch = 6 * n_dev
+    per_chip, accum = (6, 5) if micro else (30, 1)
+    batch = per_chip * n_dev
     cfg = cfg.replace(
-        train=cfg.train.__class__(batch_size=batch, macro_steps=K, rng_impl="rbg")
+        optim=cfg.optim.__class__(accum_steps=accum),
+        train=cfg.train.__class__(batch_size=batch, macro_steps=K, rng_impl="rbg"),
     )
 
-    trainer = Trainer(cfg, steps_per_epoch=1763)
+    # steps_per_epoch only indexes the LR schedule here: 10582 train
+    # images / global batch (reference deeplab.py:241).
+    trainer = Trainer(cfg, steps_per_epoch=max(10582 // batch, 1))
     state = trainer.init_state()
 
     g = np.random.default_rng(0)
@@ -101,10 +122,16 @@ def main() -> None:
     dt = sorted(times)[len(times) // 2] / K
 
     ips_per_chip = batch / dt / n_dev
+    shape = (
+        "batch 6/chip x accum 5"
+        if micro
+        else "effective batch 30/chip = reference batch 6 x accum 5, folded"
+    )
     print(
         json.dumps(
             {
-                "metric": "EM train-step throughput (batch 6/chip, 321x321, VGG16-LargeFOV + on-device E-step)",
+                "metric": f"EM train-step throughput ({shape}; 321x321, "
+                          "VGG16-LargeFOV + on-device E-step)",
                 "value": round(ips_per_chip, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips_per_chip / CPU_TF_BASELINE_IMAGES_PER_SEC, 1),
@@ -114,4 +141,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(micro="--micro" in sys.argv[1:])

@@ -50,16 +50,21 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-jsonl", default=None, help="also write metrics JSONL here")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first steps")
-    t.add_argument("--preset", choices=("reference", "tpu-perf"),
+    t.add_argument("--preset", choices=("reference", "tpu-perf", "tpu-perf-fold"),
                    default="reference",
                    help="config preset applied BEFORE overrides: "
                         "'reference' = the reference's exact recipe "
                         "(f32, single-step dispatch); 'tpu-perf' = the "
-                        "measured-fastest production setup (bf16 MXU "
-                        "compute, 10-step fused dispatch, TPU hardware "
-                        "RNG, compact uint8 wire + score-map labels — "
-                        "115.2 img/s/chip on v5e vs 43.5 for round 1's "
-                        "loop, PROFILE.md)")
+                        "reference's batch-6 x accum-5 granularity with "
+                        "the TPU execution levers (bf16 MXU compute, "
+                        "10-step fused dispatch, TPU hardware RNG, "
+                        "compact uint8 wire + score-map labels — "
+                        "115.2 img/s/chip on v5e, PROFILE.md); "
+                        "'tpu-perf-fold' = the same effective-batch-30 "
+                        "recipe FOLDED into one batch-30 step, accum 1 "
+                        "(same update math — tests/test_trainer.py::"
+                        "test_folded_batch_matches_accumulation — at "
+                        "batch-30 MFU: ~174 img/s/chip)")
     t.add_argument("--device-data", type=int, default=None, metavar="N",
                    help="smoke/bench mode: pre-upload N batches and cycle "
                         "them on device, isolating step throughput from "
@@ -204,14 +209,23 @@ def cmd_train(args) -> int:
 
     is_main = jax.process_index() == 0
     process_shard = (jax.process_index(), jax.process_count())
+    _tpu_perf = [
+        "model.compute_dtype=bfloat16",
+        "train.macro_steps=10",
+        "train.rng_impl=rbg",
+        "data.wire_dtype=uint8",
+        "data.train_label_size=(41,41)",
+    ]
     preset = {
         "reference": [],
-        "tpu-perf": [
-            "model.compute_dtype=bfloat16",
-            "train.macro_steps=10",
-            "train.rng_impl=rbg",
-            "data.wire_dtype=uint8",
-            "data.train_label_size=(41,41)",
+        "tpu-perf": _tpu_perf,
+        # The reference's effective batch 30 (6 x accum 5) folded into one
+        # batch-30 step — same update trajectory (see the preset help), at
+        # batch-30 MFU. batch_size is GLOBAL: on a multi-chip data mesh,
+        # override it to 30 x num_chips to keep 30 per chip.
+        "tpu-perf-fold": _tpu_perf + [
+            "train.batch_size=30",
+            "optim.accum_steps=1",
         ],
     }[getattr(args, "preset", "reference")]
     cfg = _load_cfg(preset + list(args.overrides or []))

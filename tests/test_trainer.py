@@ -168,6 +168,150 @@ def test_accumulation_matches_manual_mean():
     np.testing.assert_allclose(np.asarray(u2["w"]), -0.5 * np.array([2.0, 1.0]))
 
 
+def test_folded_batch_matches_accumulation(rng):
+    """Folding gradient accumulation into one larger per-step batch
+    (the reference's batch 6 x accum 5 -> one batch-30 step, reference
+    deeplab.py:202-205, :288 — the tpu-perf-fold preset / bench.py
+    default) is the SAME optimization trajectory: the CE loss is a mean
+    over B*h*w pixels, so the batch-2k mean equals the mean of two
+    batch-k microbatch means; the weight-decay gradient, momentum
+    recursion and epoch-indexed LR schedule are per-update identical
+    (epoch boundaries land on the same DATA position because
+    steps_per_epoch scales inversely with batch size).
+
+    Verified END TO END through the real jitted train_step at
+    batch 8 x accum 2 == batch 16 x accum 1 over 3 applied updates with
+    an LR drop mid-run (pins the MultiSteps schedule re-indexing), with
+    dropout off (an RNG-granularity knob the reference never pinned) and
+    DETERMINISTIC training targets (the semi-supervised strong path:
+    true downsampled masks, every pixel valid). Deterministic targets
+    rather than the E-step's: XLA lowers a convolution differently at
+    different batch sizes (different reduction tiling), so per-image
+    logits drift by float ulps between the two executions — and the
+    E-step's rank-k bias constructs an EXACT score tie at the rank
+    boundary pixel (score_j + (max - score_j) vs max, reference
+    estep.py:73-79), whose argmax resolution decoheres under ulp noise.
+    That tie sensitivity is the reference's own (np.partition boundary),
+    not a fold artifact; test_estep_labels_batch_independent pins that
+    GIVEN the same logits the E-step targets are identical per image
+    regardless of batch composition. Together: the fold preserves the
+    update math exactly (the optimizer chain alone folds BIT-exactly —
+    verified while building this test), and the only residual is float
+    rounding: conv reduction-order ulps in the grads plus param-ulp
+    re-rounding of p + u — the same noise floor as changing XLA
+    versions.
+    """
+    n_images, hw, c = 48, 33, 4
+    imgs = rng.normal(size=(n_images, hw, hw, 3)).astype(np.float32) * 20
+    labels = (
+        rng.integers(0, c, size=(n_images, hw, hw, 1)).astype(np.float32)
+    )  # all pixels valid -> per-image CE denominators equal
+
+    def build(batch, accum, spe):
+        cfg = tiny_cfg(
+            model=ModelConfig(
+                num_classes=c, input_size=(hw, hw), fc6_channels=8,
+                dropout_keep_prob=1.0, init_scheme="he",
+            ),
+            optim=OptimConfig(accum_steps=accum, lr_schedule=((1, 1e-4),)),
+            train=TrainConfig(batch_size=batch, epochs=3, seed=0,
+                              donate_state=False),
+            semi_supervised=True,
+        )
+        return Trainer(cfg, steps_per_epoch=spe)
+
+    tr_micro = build(8, accum=2, spe=4)    # epoch = 32 images
+    tr_fold = build(16, accum=1, spe=2)    # epoch = 32 images
+
+    s_micro = tr_micro.init_state()
+    s_fold = tr_fold.init_state()
+    p0 = jax.device_get(s_micro.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p0, jax.device_get(s_fold.params),
+    )
+
+    def batch_slice(lo, hi):
+        return {
+            "image": imgs[lo:hi],
+            "label": labels[lo:hi],
+            "is_strong": np.ones(hi - lo, bool),
+        }
+
+    for k in range(6):  # 3 applied updates; LR drop before update 2
+        b = tr_micro.plan.shard_batch(batch_slice(8 * k, 8 * (k + 1)))
+        s_micro, _ = tr_micro.train_step(s_micro, b)
+    for k in range(3):
+        b = tr_fold.plan.shard_batch(batch_slice(16 * k, 16 * (k + 1)))
+        s_fold, _ = tr_fold.train_step(s_fold, b)
+
+    # Compare the parameter DELTAS (what training did), not the params —
+    # init dominates the params and would make any tolerance vacuous.
+    # Tolerance floor = f32 ulps of the PARAMETER magnitude: the per-update
+    # step is ~1e-5 of the weights here, so each of the 3 updates re-rounds
+    # p + u at the param's quantization step and the two trajectories land
+    # within a few param-ulps of each other (measured ≤ 8); the delta-
+    # proportional term covers conv reduction-order grad noise, which
+    # dominates for the zero-init biases (param-ulp 0): measured 0.2-0.8%
+    # of the delta across reruns on this host, bounded at 2% — still an
+    # order of magnitude below any real trajectory difference.
+    eps32 = float(np.finfo(np.float32).eps)
+
+    def check(path, a, b, init):
+        init = np.asarray(init)
+        da = np.asarray(a) - init
+        db = np.asarray(b) - init
+        name = jax.tree_util.keystr(path)
+        assert np.abs(db).max() > 0, f"no update reached {name}"
+        tol = 64 * eps32 * np.abs(init).max() + 2e-2 * np.abs(db).max()
+        worst = np.abs(da - db).max()
+        assert worst <= tol, (
+            f"param delta diverged at {name}: max|d_micro-d_fold|={worst:.3e} "
+            f"> tol {tol:.3e} (max|delta|={np.abs(db).max():.3e})"
+        )
+
+    jax.tree_util.tree_map_with_path(
+        check, jax.device_get(s_micro.params), jax.device_get(s_fold.params), p0
+    )
+
+
+def test_estep_labels_batch_independent(rng):
+    """GIVEN the same per-image score maps, the E-step's weak labels do
+    not depend on which other images share the batch — the fold's second
+    leg (see test_folded_batch_matches_accumulation). The bias thresholds
+    (rank-k over each image's own diffs, reference estep.py:73-79) and
+    re-centering (per-image means, estep.py:81-82) are strictly
+    per-image; suppress_others couples images only through the global
+    batch max (estep.py:49), a shift whose purpose (push absent classes
+    above the present-class min) is composition-independent whenever it
+    dominates — as it does for real score maps; pinned here for both
+    suppress settings.
+    """
+    from em_adapt_tpu.ops.estep import estep_labels, make_class_orders
+
+    b, hw, c = 16, 9, 6
+    scores = jnp.asarray(rng.normal(size=(b, hw, hw, c)).astype(np.float32))
+    # Two fg classes per image (varying across images) so absent classes
+    # exist and the suppress_others branch actually engages.
+    slot = rng.integers(0, 3, size=(b, hw, hw))
+    lab = np.zeros((b, hw, hw), np.float32)
+    for i in range(b):
+        cls = np.array([0, 1 + i % (c - 1), 1 + (i + 2) % (c - 1)], np.float32)
+        lab[i] = cls[slot[i]]
+    labels = jnp.asarray(lab)
+    orders = make_class_orders(jax.random.key(3), 2, c)
+    for suppress in (True, False):
+        cfg = EStepConfig(num_iter=2, suppress_others=suppress)
+        full = np.asarray(estep_labels(scores, labels, orders, cfg))
+        for lo in (0, 8):
+            half = np.asarray(
+                estep_labels(
+                    scores[lo: lo + 8], labels[lo: lo + 8], orders, cfg
+                )
+            )
+            np.testing.assert_array_equal(half, full[lo: lo + 8])
+
+
 def test_train_step_decreases_loss_on_mesh(rng):
     """Full jitted EM step over the 8-device fake mesh: loss falls."""
     cfg = tiny_cfg()
