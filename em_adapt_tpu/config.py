@@ -243,10 +243,20 @@ class EvalConfig:
     #: CRF, argmax — in ONE jitted batched graph on the accelerator; see
     #: eval/crf_tpu.py). Per-image dense_crf() calls are unaffected.
     crf_impl: str = "host"
-    #: Static padding bucket (H, W) for the "tpu" CRF path — images pad
-    #: into one compiled shape; must cover the dataset's largest image
-    #: (VOC maxes at 500x500).
+    #: Static padding bucket (H, W) for the "tpu" CRF path — the LARGEST
+    #: compiled shape; must cover the dataset's biggest image (VOC maxes
+    #: at 500x500).
     crf_bucket: tuple[int, int] = (512, 512)
+    #: Additional smaller buckets for the "tpu" CRF path. Each image pads
+    #: into the smallest-area bucket that fits it (falling back to
+    #: crf_bucket), so a mostly-landscape dataset like VOC doesn't pay the
+    #: square worst case per image (measured: 0.29 s/img in a 384x512
+    #: bucket vs 0.39 at 512x512). Each bucket is one extra lazy compile;
+    #: outputs are bit-identical across buckets (padding invariance is
+    #: pinned by tests/test_crf_tpu.py). Buckets may swap aspect but are
+    #: dropped if their area exceeds crf_bucket's; oversize images error
+    #: against crf_bucket regardless. Set to () to force one shape.
+    crf_buckets: tuple[tuple[int, int], ...] = ((384, 512), (512, 384))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -199,23 +199,55 @@ class Evaluator:
         """Exact VOC protocol with the post-process ON DEVICE
         (EvalConfig.crf_impl="tpu"): logits stay on the accelerator,
         the CRF runs batched in jit, and only [H,W] uint8 label maps
-        return to the host for the confusion sum. One compile for the
-        whole val set (images pad into EvalConfig.crf_bucket)."""
+        return to the host for the confusion sum.
+
+        Images route to the smallest EvalConfig.crf_buckets shape that
+        fits them (falling back to crf_bucket), batching per bucket, so a
+        mostly-landscape dataset doesn't pay the square worst case per
+        image. One compile per bucket that actually receives images; the
+        masked CRF is padding-invariant, so labels don't depend on which
+        bucket an image lands in (tests/test_crf_tpu.py pins both)."""
         from em_adapt_tpu.data.augment import preprocess_eval
 
         eval_cfg: EvalConfig = self.cfg.eval
-        bh, bw = eval_cfg.crf_bucket
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
-        post = self._make_device_voc_post((bh, bw))
+        max_bucket = tuple(eval_cfg.crf_bucket)
+        # Smallest-area-first routing; crf_bucket is the fallback and the
+        # authority on "image too big" (the element-wise check in route()).
+        # Extra buckets may swap aspect (a portrait bucket under a
+        # landscape ceiling is fine) but never exceed the ceiling's AREA —
+        # a bigger one could only receive images the ceiling already
+        # rejects, so it would be dead weight plus a wasted compile.
+        max_area = max_bucket[0] * max_bucket[1]
+        extra = {
+            tuple(b) for b in eval_cfg.crf_buckets if b[0] * b[1] <= max_area
+        }
+        buckets = sorted(extra | {max_bucket}, key=lambda b: (b[0] * b[1], b))
+        posts: dict[tuple[int, int], object] = {}
+        pending: dict[tuple[int, int], list[tuple[np.ndarray, ...]]] = {
+            b: [] for b in buckets
+        }
 
-        pend_imgs: list[np.ndarray] = []
-        pend_raw: list[tuple[np.ndarray, np.ndarray]] = []
+        def route(oh: int, ow: int) -> tuple[int, int]:
+            # The ceiling check comes first so an aspect-swapped extra
+            # bucket can't admit an image crf_bucket would reject.
+            if oh > max_bucket[0] or ow > max_bucket[1]:
+                raise ValueError(
+                    f"image {oh}x{ow} exceeds eval.crf_bucket "
+                    f"({max_bucket[0]}, {max_bucket[1]}); raise the bucket"
+                )
+            for b in buckets:
+                if oh <= b[0] and ow <= b[1]:
+                    return b
+            raise AssertionError("unreachable: max_bucket admits the image")
 
-        def flush():
-            if not pend_imgs:
+        def flush(bucket: tuple[int, int]):
+            pend = pending[bucket]
+            if not pend:
                 return
-            n = len(pend_imgs)
-            stack = np.stack(pend_imgs)
+            bh, bw = bucket
+            n = len(pend)
+            stack = np.stack([p[0] for p in pend])
             if n < bs:
                 stack = np.concatenate(
                     [stack, np.zeros((bs - n,) + stack.shape[1:], stack.dtype)]
@@ -226,32 +258,29 @@ class Evaluator:
             # dynamic-resize division finite (0 would put NaNs through that
             # lane's CRF); their outputs are never read.
             sizes = np.ones((bs, 2), np.int32)
-            for i, (raw_img, raw_label) in enumerate(pend_raw):
+            for i, (_, raw_img, raw_label) in enumerate(pend):
                 oh, ow = raw_label.shape[:2]
-                if oh > bh or ow > bw:
-                    raise ValueError(
-                        f"image {oh}x{ow} exceeds eval.crf_bucket "
-                        f"({bh}, {bw}); raise the bucket"
-                    )
                 rgbs[i, :oh, :ow] = raw_img
                 sizes[i] = (oh, ow)
+            if bucket not in posts:
+                posts[bucket] = self._make_device_voc_post(bucket)
             labels = np.asarray(
-                post(logits, jnp.asarray(rgbs), jnp.asarray(sizes))
+                posts[bucket](logits, jnp.asarray(rgbs), jnp.asarray(sizes))
             )
-            for i, (_, raw_label) in enumerate(pend_raw):
+            for i, (_, _, raw_label) in enumerate(pend):
                 oh, ow = raw_label.shape[:2]
                 acc.update_host(labels[i, :oh, :ow].astype(np.int32), raw_label)
-            pend_imgs.clear()
-            pend_raw.clear()
+            pend.clear()
 
         for i in range(len(dataset)):
             raw_img, raw_label = dataset.load_raw(i)
             img, _ = preprocess_eval(
                 raw_img, None, input_size=self.cfg.model.input_size
             )
-            pend_imgs.append(img)
-            pend_raw.append((raw_img, raw_label))
-            if len(pend_imgs) == bs:
-                flush()
-        flush()
+            bucket = route(*raw_label.shape[:2])
+            pending[bucket].append((img, raw_img, raw_label))
+            if len(pending[bucket]) == bs:
+                flush(bucket)
+        for bucket in buckets:
+            flush(bucket)
         return acc.result()

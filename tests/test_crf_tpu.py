@@ -202,6 +202,60 @@ def test_evaluate_voc_device_path():
         assert agree > 0.999, f"image {i}: agreement {agree}"
 
 
+def test_evaluate_voc_device_bucket_routing():
+    """Size-bucketed device eval: images pad into the smallest fitting
+    crf_buckets shape, the fallback bucket is untouched when unused, and
+    the confusion matrix is IDENTICAL to the single-bucket run (the masked
+    CRF is exactly padding-invariant: padding only adds 0.0 terms to the
+    filter sums and empty cells to the bilateral grid)."""
+    import jax
+
+    from em_adapt_tpu.config import EvalConfig, ExperimentConfig, ModelConfig
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.models import DeepLabLargeFOV
+
+    model_cfg = ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8)
+
+    def run(buckets):
+        cfg = ExperimentConfig(
+            model=model_cfg,
+            eval=EvalConfig(
+                crf_impl="tpu",
+                crf_bucket=(48, 56),
+                crf_buckets=buckets,
+                crf_iterations=2,
+                use_crf=True,
+            ),
+        )
+        model = DeepLabLargeFOV(cfg.model)
+        params = model.init(jax.random.key(0))
+        ev = Evaluator(cfg, model)
+        compiled = []
+        orig = ev._make_device_voc_post
+
+        def spy(bucket):
+            compiled.append(tuple(bucket))
+            return orig(bucket)
+
+        ev._make_device_voc_post = spy
+        miou, conf = ev.evaluate_voc(params, _TinyVOC(), use_crf=True, batch_size=2)
+        return miou, conf, compiled
+
+    # _TinyVOC sizes: (40,50)->(40,56), (33,44)->(40,56), (48,37)->(56,40)
+    miou_b, conf_b, compiled = run(((40, 56), (56, 40)))
+    assert sorted(compiled) == [(40, 56), (56, 40)]  # fallback never compiled
+    miou_s, conf_s, compiled_s = run(())
+    assert compiled_s == [(48, 56)]
+    assert miou_b == miou_s
+    np.testing.assert_array_equal(conf_b, conf_s)
+
+    # Buckets that exceed the crf_bucket ceiling are ignored, keeping the
+    # oversize check authoritative.
+    _, conf_big, compiled_big = run(((400, 400), (40, 56)))
+    assert (400, 400) not in compiled_big
+    np.testing.assert_array_equal(conf_big, conf_s)
+
+
 def test_evaluate_voc_device_rejects_oversize_image():
     import jax
     import pytest
