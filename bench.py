@@ -21,7 +21,16 @@ per-update identical — pinned end-to-end by tests/test_trainer.py::
 test_folded_batch_matches_accumulation, with the E-step's per-image
 batch-independence pinned by test_estep_labels_batch_independent;
 residual differences are RNG granularity the reference never pinned
-plus conv reduction-order ulps) at batch-30 MFU instead of batch-6
+plus conv reduction-order ulps. Two scoped caveats: [1] the E-step's
+suppression inherits the reference's own global-batch-max lift
+(reference estep.py:50) — the reference already couples each 6-image
+microbatch through that max, and regrouping 30 images changes labels
+only in degenerate regimes where the lift fails to dominate, which the
+recipe's score maps never visit (the test pins the production regime);
+[2] the equivalence is for the WEAK-supervision recipe — the
+semi-supervised strong path normalizes its CE by each batch's valid
+pixel count, so there fold != accum and the CLI warns) at batch-30 MFU
+instead of batch-6
 MFU: measured ~174 vs 115 img/s/chip (PROFILE.md batch-scaling
 table). ``--micro`` reproduces the reference-granularity
 batch-6 x accum-5 execution instead.

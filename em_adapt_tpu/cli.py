@@ -62,9 +62,12 @@ def _build_parser() -> argparse.ArgumentParser:
                         "115.2 img/s/chip on v5e, PROFILE.md); "
                         "'tpu-perf-fold' = the same effective-batch-30 "
                         "recipe FOLDED into one batch-30 step, accum 1 "
-                        "(same update math — tests/test_trainer.py::"
+                        "(same update math for the weak-supervision "
+                        "recipe — tests/test_trainer.py::"
                         "test_folded_batch_matches_accumulation — at "
-                        "batch-30 MFU: ~174 img/s/chip)")
+                        "batch-30 MFU: ~174 img/s/chip; NOT equivalent "
+                        "under --strong-list: the strong-path masked CE "
+                        "normalizes per batch, the CLI warns)")
     t.add_argument("--device-data", type=int, default=None, metavar="N",
                    help="smoke/bench mode: pre-upload N batches and cycle "
                         "them on device, isolating step throughput from "
@@ -220,9 +223,10 @@ def cmd_train(args) -> int:
         "reference": [],
         "tpu-perf": _tpu_perf,
         # The reference's effective batch 30 (6 x accum 5) folded into one
-        # batch-30 step — same update trajectory (see the preset help), at
-        # batch-30 MFU. batch_size is GLOBAL: on a multi-chip data mesh,
-        # override it to 30 x num_chips to keep 30 per chip.
+        # batch-30 step — same update trajectory for the weak-supervision
+        # recipe (see the preset help), at batch-30 MFU. batch_size is
+        # GLOBAL; on a multi-chip data mesh it is auto-scaled to
+        # 30 x data-axis below unless explicitly overridden.
         "tpu-perf-fold": _tpu_perf + [
             "train.batch_size=30",
             "optim.accum_steps=1",
@@ -231,6 +235,26 @@ def cmd_train(args) -> int:
     cfg = _load_cfg(preset + list(args.overrides or []))
     if args.strong_list or args.strong_fraction > 0:
         cfg = cfg.replace(semi_supervised=True)
+    if getattr(args, "preset", "reference") == "tpu-perf-fold":
+        from em_adapt_tpu.config import apply_overrides
+
+        user_keys = {o.partition("=")[0] for o in (args.overrides or [])}
+        data_ax = dict(cfg.mesh.axes).get("data", 1)
+        if data_ax > 1 and "train.batch_size" not in user_keys:
+            # batch_size is GLOBAL: keep the folded recipe's 30 images per
+            # data shard on a multi-chip mesh (bench.py does the same).
+            cfg = apply_overrides(cfg, [f"train.batch_size={30 * data_ax}"])
+            if is_main:
+                print(f"tpu-perf-fold: data axis {data_ax} -> global "
+                      f"batch_size {cfg.train.batch_size} (30 per shard)")
+        if cfg.semi_supervised and is_main:
+            print("WARNING: tpu-perf-fold with semi-supervised training is "
+                  "NOT update-identical to the batch-6 x accum-5 recipe: "
+                  "the strong-path CE normalizes by each batch's valid "
+                  "(non-255) pixel count, so the batch-30 mean differs from "
+                  "the mean of five batch-6 means whenever microbatches "
+                  "carry different numbers of void pixels. Use --preset "
+                  "tpu-perf for exact accumulation semantics.")
     if args.synthetic:
         ds = SyntheticVOC(n=args.synthetic, num_classes=cfg.model.num_classes,
                           seed=cfg.train.seed, strong_fraction=args.strong_fraction)

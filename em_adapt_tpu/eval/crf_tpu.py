@@ -66,15 +66,21 @@ def _filter1d(x: jax.Array, taps: np.ndarray, axis: int) -> jax.Array:
 
 
 def _spatial_filter(
-    q: jax.Array, mask: jax.Array, taps: np.ndarray
+    q: jax.Array,
+    mask: jax.Array,
+    taps: np.ndarray,
+    den: jax.Array | None = None,
 ) -> jax.Array:
     """Normalized spatial Gaussian of q [H,W,C] restricted to mask [H,W,1].
 
     With mask == 1 everywhere this equals eval/crf.py::_gaussian_filter_xy
     (gauss(q) / gauss(ones)); with bucket padding the masked normalized
-    convolution equals filtering the unpadded image."""
+    convolution equals filtering the unpadded image. ``den`` — the
+    filtered mask, which depends only on (mask, taps) — may be
+    precomputed by loops that call this per iteration."""
     num = _filter1d(_filter1d(q * mask, taps, 0), taps, 1)
-    den = _filter1d(_filter1d(mask, taps, 0), taps, 1)
+    if den is None:
+        den = _filter1d(_filter1d(mask, taps, 0), taps, 1)
     return num / jnp.maximum(den, 1e-8)
 
 
@@ -107,26 +113,34 @@ def _grid_geometry(h: int, w: int, sxy: float, srgb: float):
     return gy, gx, gc, spatial_flat.reshape(-1).astype(np.int32)
 
 
-def _bilateral_grid_filter_tpu(
-    q: jax.Array,
-    rgb: jax.Array,
-    mask: jax.Array,
-    *,
-    sxy: float,
-    srgb: float,
-    taps: np.ndarray,
-):
-    """Splat/blur/slice bilateral filtering of q [H,W,C] guided by rgb
-    [H,W,3] uint8, weighted by mask [H,W,1]. Returns (filtered, flat_idx)
-    so the mean-field loop can reuse the traced coordinates."""
-    h, w, c = q.shape
+def _bilateral_flat_index(
+    rgb: jax.Array, *, sxy: float, srgb: float
+) -> tuple[tuple[int, int, int], jax.Array]:
+    """Per-pixel flat bilateral-grid cell index [H*W] for a guide image
+    [H,W,3] uint8, plus the (gy, gx, gc) grid shape. The guide is
+    iteration-invariant, so the mean-field loop computes this ONCE
+    outside its body and closes over it."""
+    h, w = rgb.shape[:2]
     gy, gx, gc, spatial_flat = _grid_geometry(h, w, float(sxy), float(srgb))
-
     col = rgb.astype(jnp.float32) / jnp.float32(srgb)
     ci = jnp.round(col).astype(jnp.int32)  # [H,W,3]
     color_flat = (ci[..., 0] * gc + ci[..., 1]) * gc + ci[..., 2]
     flat = jnp.asarray(spatial_flat) + color_flat.reshape(-1)
+    return (gy, gx, gc), flat
 
+
+def _bilateral_grid_splat_blur_slice(
+    q: jax.Array,
+    mask: jax.Array,
+    flat: jax.Array,
+    grid_shape: tuple[int, int, int],
+    taps: np.ndarray,
+) -> jax.Array:
+    """Splat/blur/slice bilateral filtering of q [H,W,C] weighted by mask
+    [H,W,1], using a precomputed flat cell index from
+    :func:`_bilateral_flat_index`. Returns the filtered [H,W,C] map."""
+    h, w, c = q.shape
+    gy, gx, gc = grid_shape
     size = gy * gx * gc * gc * gc
     vals = jnp.concatenate([q * mask, mask], axis=-1).reshape(-1, c + 1)
     grid = jnp.zeros((size, c + 1), jnp.float32).at[flat].add(vals)
@@ -135,6 +149,23 @@ def _bilateral_grid_filter_tpu(
         grid = _filter1d(grid, taps, axis)
     sliced = grid.reshape(size, c + 1)[flat].reshape(h, w, c + 1)
     return sliced[..., :c] / jnp.maximum(sliced[..., c:], 1e-8)
+
+
+def _bilateral_grid_filter_tpu(
+    q: jax.Array,
+    rgb: jax.Array,
+    mask: jax.Array,
+    *,
+    sxy: float,
+    srgb: float,
+    taps: np.ndarray,
+) -> jax.Array:
+    """One-shot splat/blur/slice bilateral filtering of q [H,W,C] guided
+    by rgb [H,W,3] uint8, weighted by mask [H,W,1]. Convenience wrapper;
+    loops should hoist :func:`_bilateral_flat_index` and call
+    :func:`_bilateral_grid_splat_blur_slice` per iteration."""
+    grid_shape, flat = _bilateral_flat_index(rgb, sxy=sxy, srgb=srgb)
+    return _bilateral_grid_splat_blur_slice(q, mask, flat, grid_shape, taps)
 
 
 def _crf_refine_one(
@@ -160,13 +191,15 @@ def _crf_refine_one(
     bl_taps = _gauss_taps(1.0, truncate=2.0)  # grid blur: 1 cell std
     log_unary = jnp.log(jnp.maximum(probs, 1e-8))
 
-    # Bilateral coordinates are fixed across iterations — trace them once
-    # by pre-binding the guide image into the loop body.
+    # Bilateral coordinates depend only on the guide image — computed
+    # ONCE here, outside the loop body, and closed over (not left for
+    # XLA's loop-invariant code motion to find).
+    grid_shape, flat = _bilateral_flat_index(rgb, sxy=bi_sxy, srgb=bi_srgb)
+    sp_den = _filter1d(_filter1d(mask, sp_taps, 0), sp_taps, 1)
+
     def body(_, q):
-        sp = _spatial_filter(q, mask, sp_taps)
-        bi = _bilateral_grid_filter_tpu(
-            q, rgb, mask, sxy=bi_sxy, srgb=bi_srgb, taps=bl_taps
-        )
+        sp = _spatial_filter(q, mask, sp_taps, den=sp_den)
+        bi = _bilateral_grid_splat_blur_slice(q, mask, flat, grid_shape, bl_taps)
         energy = log_unary + g_compat * sp + bi_compat * bi
         energy = energy - energy.max(-1, keepdims=True)
         e = jnp.exp(energy)

@@ -61,6 +61,13 @@ class Evaluator:
         eval_cfg: EvalConfig = self.cfg.eval
         use_crf = eval_cfg.use_crf if use_crf is None else use_crf
         bs = batch_size or eval_cfg.batch_size
+        if eval_cfg.crf_impl not in ("host", "tpu"):
+            # Validate eagerly: a typo ("device", "TPU", ...) would
+            # otherwise silently select the host worker-pool CRF.
+            raise ValueError(
+                f"eval.crf_impl must be 'host' or 'tpu', got "
+                f"{eval_cfg.crf_impl!r}"
+            )
         if use_crf and eval_cfg.crf_impl == "tpu":
             return self._evaluate_voc_device(params, dataset, bs)
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
@@ -196,10 +203,15 @@ class Evaluator:
     def _evaluate_voc_device(
         self, params, dataset, bs: int
     ) -> tuple[float, np.ndarray]:
-        """Exact VOC protocol with the post-process ON DEVICE
-        (EvalConfig.crf_impl="tpu"): logits stay on the accelerator,
-        the CRF runs batched in jit, and only [H,W] uint8 label maps
-        return to the host for the confusion sum.
+        """VOC protocol (original-resolution compare) with the
+        post-process ON DEVICE (EvalConfig.crf_impl="tpu"): logits stay
+        on the accelerator, the CRF runs batched in jit, and only [H,W]
+        uint8 label maps return to the host for the confusion sum. Not
+        bit-identical to the host protocol: the dynamic-size bilinear
+        grid is computed on device, where XLA's reciprocal-multiply f32
+        division can sit 1 ulp off TF1's IEEE divide (see
+        ops/resize.py::resize_bilinear_tf_dynamic); label agreement with
+        the host path is pinned at >99.9% per image.
 
         Images route to the smallest EvalConfig.crf_buckets shape that
         fits them (falling back to crf_bucket), batching per bucket, so a

@@ -222,3 +222,48 @@ def test_predict_cli_on_voc_images(voc_tree, tmp_path):
     assert mask.mode == "P"
     orig = Image.open(img)
     assert mask.size == orig.size
+
+
+def test_train_cli_fold_preset_scales_batch_and_warns(tmp_path, capsys):
+    """tpu-perf-fold on a multi-chip data mesh: the preset's GLOBAL
+    batch_size auto-scales to 30 per data shard (unless the user
+    overrides train.batch_size), and combining the fold with
+    semi-supervised training prints the non-equivalence warning (the
+    strong-path CE normalizes per batch — pinned by
+    tests/test_trainer.py::test_fold_not_equivalent_for_strong_path_
+    with_voids)."""
+    from em_adapt_tpu import cli
+
+    rc = cli.main([
+        "train", "--steps", "1", "--preset", "tpu-perf-fold",
+        "--synthetic", "120", "--strong-fraction", "0.5",
+        "model.num_classes=4", "model.input_size=(33,33)",
+        "model.fc6_channels=8", "data.input_size=(33,33)",
+        "data.train_label_size=(5,5)", "estep.num_iter=1",
+        "train.macro_steps=1", "train.log_every_steps=1",
+        "mesh.axes=(('data',2),('space',1),('model',4))",
+        f"checkpoint.save_dir={tmp_path / 'saver'}",
+        "checkpoint.save_every_steps=1000000",
+        "checkpoint.async_save=False",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "global batch_size 60 (30 per shard)" in out
+    assert "NOT update-identical" in out
+
+    # An explicit batch_size override wins over the auto-scaling.
+    rc = cli.main([
+        "train", "--steps", "1", "--preset", "tpu-perf-fold",
+        "--synthetic", "60",
+        "model.num_classes=4", "model.input_size=(33,33)",
+        "model.fc6_channels=8", "data.input_size=(33,33)",
+        "data.train_label_size=(5,5)", "estep.num_iter=1",
+        "train.macro_steps=1", "train.batch_size=8",
+        "mesh.axes=(('data',2),('space',1),('model',4))",
+        f"checkpoint.save_dir={tmp_path / 'saver2'}",
+        "checkpoint.save_every_steps=1000000",
+        "checkpoint.async_save=False",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "30 per shard" not in out

@@ -275,6 +275,54 @@ def test_folded_batch_matches_accumulation(rng):
     )
 
 
+def test_fold_not_equivalent_for_strong_path_with_voids(rng):
+    """The fold-equivalence claim is scoped to the WEAK-supervision
+    recipe. The semi-supervised strong path normalizes its CE by the
+    batch's valid (non-255) pixel count (loss_fn's ``denom``), so when
+    microbatches carry DIFFERENT void counts the batch-2k loss is a
+    valid-pixel-weighted mean — not the mean of the two batch-k losses —
+    and folding changes the update. This pins the divergence the CLI
+    warns about (tpu-perf-fold + --strong-list), so it can't silently
+    regress into an unscoped 'same update math' claim."""
+    hw, c = 33, 4
+    cfg = tiny_cfg(
+        model=ModelConfig(num_classes=c, input_size=(hw, hw),
+                          fc6_channels=8, dropout_keep_prob=1.0,
+                          init_scheme="he"),
+        semi_supervised=True,
+    )
+    model = DeepLabLargeFOV(cfg.model)
+    params = model.init(jax.random.key(0))
+    rng_key = jax.random.key(1)
+
+    imgs = rng.normal(size=(2, hw, hw, 3)).astype(np.float32) * 20
+    labels = rng.integers(0, c, size=(2, hw, hw, 1)).astype(np.float32)
+    labels[0, : hw // 2] = 255.0  # image 0: ~half void; image 1: none
+
+    def loss_of(sel):
+        batch = {
+            "image": jnp.asarray(imgs[sel]),
+            "label": jnp.asarray(labels[sel]),
+            "is_strong": jnp.ones(len(sel), bool),
+        }
+        total, _ = loss_fn(params, batch, rng_key, model, cfg)
+        return float(total)
+
+    l0, l1, l_fold = loss_of([0]), loss_of([1]), loss_of([0, 1])
+    accum_mean = (l0 + l1) / 2
+    # Structural divergence, far above conv reduction-order ulps: the
+    # folded loss weights image 1's pixels ~2x image 0's.
+    assert abs(l_fold - accum_mean) > 1e-4 * abs(accum_mean), (
+        l0, l1, l_fold,
+    )
+    # Control: with NO voids the fold IS the mean (float tolerance) —
+    # the weak-recipe equivalence that test_folded_batch_matches_
+    # accumulation pins end to end.
+    labels[0] = np.abs(labels[0]) % c
+    l0, l1, l_fold = loss_of([0]), loss_of([1]), loss_of([0, 1])
+    np.testing.assert_allclose(l_fold, (l0 + l1) / 2, rtol=1e-5)
+
+
 def test_estep_labels_batch_independent(rng):
     """GIVEN the same per-image score maps, the E-step's weak labels do
     not depend on which other images share the batch — the fold's second
