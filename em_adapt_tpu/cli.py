@@ -8,6 +8,7 @@ one typed CLI covers the same surface and more:
     em-adapt train   [--synthetic N] [--resume] [key=value ...]
     em-adapt eval    [--crf] [--checkpoint DIR] [key=value ...]
     em-adapt convert --voc-seg DIR --sbd-cls DIR --out DIR
+    em-adapt import-tf PREFIX --out DIR   # reference Saver ckpt -> here
     em-adapt info
 
 Overrides use dotted config paths, e.g.:
@@ -147,6 +148,23 @@ def _build_parser() -> argparse.ArgumentParser:
                     "the reference implementation")
     ex.add_argument("--config", dest="overrides", nargs="*", default=[],
                     help="config overrides key=value")
+
+    it = sub.add_parser(
+        "import-tf",
+        help="convert a reference tf.train.Saver checkpoint (trainable "
+        "variables, flat '<layer>_weights'/'<layer>_bias' names) into an "
+        "orbax checkpoint usable with train --warm-start / eval "
+        "--checkpoint / predict / export",
+    )
+    it.add_argument("prefix",
+                    help="Saver prefix, e.g. saver/norm-24000 (no "
+                    ".index/.data suffix)")
+    it.add_argument("--out", required=True,
+                    help="orbax checkpoint dir to write (tag 'norm', step "
+                    "0 — a params-only warm-start source)")
+    it.add_argument("--config", dest="overrides", nargs="*", default=[],
+                    help="config overrides key=value (must match the "
+                    "checkpoint's architecture)")
 
     sub.add_parser("info", help="print config defaults and device info")
     return p
@@ -660,6 +678,64 @@ def cmd_info(_args) -> int:
     return 0
 
 
+def cmd_import_tf(args) -> int:
+    """Reference tf.train.Saver checkpoint -> orbax warm-start source.
+
+    The inverse interop direction of ``export --format npy``: a model
+    TRAINED by the reference (readme.md's downloadable checkpoints, or a
+    user's own run) becomes evaluable/servable/fine-tunable here. The
+    written checkpoint is a full fresh TrainState (zeroed optimizer
+    slots, step 0, seed RNG) whose params are the imported weights —
+    exactly what ``--warm-start`` grafts and what ``eval``/``predict``
+    load.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    _setup_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.models.tf_import import (
+        load_tf_checkpoint_params,
+        params_l2,
+    )
+    from em_adapt_tpu.train import Trainer
+
+    cfg = _load_cfg(args.overrides)
+    cfg = cfg.replace(
+        checkpoint=dataclasses.replace(
+            cfg.checkpoint, save_dir=args.out, async_save=False
+        )
+    )
+    imported = load_tf_checkpoint_params(args.prefix, cfg.model)
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state()
+    params = jax.tree.map(
+        lambda cur, new: jax.device_put(
+            jnp.asarray(new, cur.dtype), cur.sharding
+        ),
+        state.params,
+        imported,
+    )
+    state = state.replace(params=params)
+    trainer.checkpointer.save(state, tag="norm")
+    trainer.checkpointer.close()
+    n_params = sum(
+        int(np.prod(v.shape)) for layer in imported.values()
+        for v in layer.values()
+    )
+    print(
+        f"imported {args.prefix} -> {args.out} "
+        f"({len(imported)} layers, {n_params:,} params, "
+        f"weight L2 {params_l2(imported):.6f}); use with "
+        f"'em-adapt train --warm-start {args.out}' or "
+        f"'em-adapt eval --checkpoint {args.out}'"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     return {
@@ -668,6 +744,7 @@ def main(argv=None) -> int:
         "convert": cmd_convert,
         "predict": cmd_predict,
         "export": cmd_export,
+        "import-tf": cmd_import_tf,
         "info": cmd_info,
     }[args.command](args)
 
