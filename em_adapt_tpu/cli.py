@@ -176,6 +176,24 @@ def _load_cfg(overrides):
     return apply_overrides(ExperimentConfig(), overrides or [])
 
 
+def _resolved_data_axis(cfg, n_devices: int) -> int:
+    """Size the mesh's data axis will take, resolving the -1 = "all
+    remaining devices" convention the same way parallel/mesh.py does.
+    The DEFAULT MeshConfig is (("data", -1), ("space", 1)), so reading
+    the raw tuple would see -1 — not the 8 a v5e-8 resolves to."""
+    sizes = dict(cfg.mesh.axes)
+    fixed = 1
+    for s in sizes.values():
+        if s != -1:
+            fixed *= s
+    resolved = {
+        k: (n_devices // fixed if v == -1 and fixed and
+            n_devices % fixed == 0 else v)
+        for k, v in sizes.items()
+    }
+    return max(resolved.get(cfg.mesh.data_axis, 1), 1)
+
+
 def _setup_jax() -> None:
     """Persistent XLA compilation cache (fresh jits on a remote TPU cost
     minutes; cache them across CLI invocations). Override the location
@@ -257,7 +275,7 @@ def cmd_train(args) -> int:
         from em_adapt_tpu.config import apply_overrides
 
         user_keys = {o.partition("=")[0] for o in (args.overrides or [])}
-        data_ax = dict(cfg.mesh.axes).get("data", 1)
+        data_ax = _resolved_data_axis(cfg, jax.device_count())
         if data_ax > 1 and "train.batch_size" not in user_keys:
             # batch_size is GLOBAL: keep the folded recipe's 30 images per
             # data shard on a multi-chip mesh (bench.py does the same).

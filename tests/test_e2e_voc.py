@@ -267,3 +267,30 @@ def test_train_cli_fold_preset_scales_batch_and_warns(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "30 per shard" not in out
+
+
+def test_fold_preset_resolves_auto_data_axis():
+    """The fold preset's per-shard batch scaling must resolve the mesh's
+    -1 = "all remaining devices" convention (the DEFAULT MeshConfig is
+    (('data', -1), ('space', 1))): reading the raw tuple would see -1
+    and silently skip the scaling exactly on the multi-chip default."""
+    from em_adapt_tpu.cli import _resolved_data_axis
+    from em_adapt_tpu.config import ExperimentConfig, MeshConfig
+
+    cfg = ExperimentConfig()  # data=-1 default
+    assert _resolved_data_axis(cfg, 8) == 8
+    assert _resolved_data_axis(cfg, 1) == 1
+
+    cfg2 = ExperimentConfig(mesh=MeshConfig(
+        axes=(("data", 2), ("space", 1), ("model", 4))))
+    assert _resolved_data_axis(cfg2, 8) == 2
+
+    cfg3 = ExperimentConfig(mesh=MeshConfig(
+        axes=(("data", -1), ("space", 2))))
+    assert _resolved_data_axis(cfg3, 8) == 4
+
+    # Unresolvable -1 (devices not divisible by fixed axes): no scaling;
+    # make_mesh raises the real error later.
+    cfg4 = ExperimentConfig(mesh=MeshConfig(
+        axes=(("data", -1), ("space", 3))))
+    assert _resolved_data_axis(cfg4, 8) == 1
