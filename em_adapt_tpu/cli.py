@@ -177,21 +177,18 @@ def _load_cfg(overrides):
 
 
 def _resolved_data_axis(cfg, n_devices: int) -> int:
-    """Size the mesh's data axis will take, resolving the -1 = "all
-    remaining devices" convention the same way parallel/mesh.py does.
-    The DEFAULT MeshConfig is (("data", -1), ("space", 1)), so reading
-    the raw tuple would see -1 — not the 8 a v5e-8 resolves to."""
-    sizes = dict(cfg.mesh.axes)
-    fixed = 1
-    for s in sizes.values():
-        if s != -1:
-            fixed *= s
-    resolved = {
-        k: (n_devices // fixed if v == -1 and fixed and
-            n_devices % fixed == 0 else v)
-        for k, v in sizes.items()
-    }
-    return max(resolved.get(cfg.mesh.data_axis, 1), 1)
+    """Size the mesh's data axis will take, via the same resolution
+    make_mesh uses (parallel/mesh.py::resolve_axis_sizes). The DEFAULT
+    MeshConfig is (("data", -1), ("space", 1)), so reading the raw tuple
+    would see -1 — not the 8 a v5e-8 resolves to. An unresolvable mesh
+    returns 1 (no scaling); make_mesh raises the real error later."""
+    from em_adapt_tpu.parallel.mesh import resolve_axis_sizes
+
+    try:
+        sizes = resolve_axis_sizes(cfg.mesh, n_devices)
+    except ValueError:
+        return 1
+    return max(sizes.get(cfg.mesh.data_axis, 1), 1)
 
 
 def _setup_jax() -> None:

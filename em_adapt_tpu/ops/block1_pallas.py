@@ -274,6 +274,81 @@ def _pool(y2r, *, PT, WPAD, OW):
     return jnp.stack(rows, axis=0)
 
 
+def _pool_route_bwd(y2r, pooled, dy, *, PT, WPAD, OW, dtype):
+    """Pool backward: route dy [PT+1, OW, F] (pooled grid, row Ploc=0 =
+    previous strip's last row) onto the y2 grid by first-match equality,
+    apply the relu mask and row ownership, and return dz2 [M2, F] in the
+    accumulation dtype. Shared by the production backward kernel and the
+    cost-decomposition probe (tools/bench_block1_bwd_parts.py) so probe
+    timings can never drift from the shipped formulation."""
+    R2 = 2 * PT + 3
+    M2 = R2 * WPAD
+    f = y2r.shape[1]
+    adt = _acc_dtype(dtype)
+    first = _pool_first_match(y2r, pooled, PT=PT, WPAD=WPAD, OW=OW)
+
+    # x2 nearest upsample of (pooled, dy, first) onto the y2 grid, then 9
+    # shifted compares. y2 local row t2 is covered by pooled local row
+    # Ploc = (t2 - or - 1)/2 when that is an integer (parity mask), and
+    # y2 col j by pooled col Q = (j - oc)/2.
+    # column x2-upsample + padding as ONE selection matmul per row:
+    # up[j, q] = [q == (j - 1) // 2] for j in [1, 2*OW+1) places pooled
+    # col q at padded cols 2q+1 and 2q+2 (i.e. 1 zero pad col in front),
+    # every other padded col stays zero.
+    jj = jax.lax.broadcasted_iota(jnp.int32, (WPAD + 2, OW), 0)
+    qq = jax.lax.broadcasted_iota(jnp.int32, (WPAD + 2, OW), 1)
+    up = ((jj >= 1) & (jj < 2 * OW + 1) & (qq == (jj - 1) // 2))
+
+    def rep2(t):  # [PT+1, OW, f] -> padded [2PT+5, WPAD+2, f]
+        # rows x2 by pair-stack + leading-dim reshape (untiled dims only)
+        upm = up.astype(t.dtype)
+        t = jnp.stack([t, t], axis=1).reshape(2 * (PT + 1), OW, f)
+        rows = [
+            jnp.dot(upm, t[r], preferred_element_type=jnp.float32)
+            .astype(t.dtype)
+            for r in range(2 * (PT + 1))
+        ]
+        t = jnp.stack(rows, axis=0)  # [2PT+2, WPAD+2, f]
+        zr = jnp.zeros((2, WPAD + 2, f), t.dtype)
+        zr1 = jnp.zeros((1, WPAD + 2, f), t.dtype)
+        return jnp.concatenate([zr, t, zr1], axis=0)  # rows: 2 front, 1 back
+
+    ry, rdy = rep2(pooled), rep2(dy)
+    rfi = rep2(first.astype(dy.dtype))
+    y23 = y2r.reshape(R2, WPAD, f)
+    t2i = jax.lax.broadcasted_iota(jnp.int32, (R2, 1, 1), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (1, WPAD, 1), 1)
+    # All big backward intermediates live in the compute dtype (adt):
+    # bf16 on TPU halves their VMEM (the kernel would not fit otherwise)
+    # at bf16-ulp gradient noise; the f32 path (CPU parity tests) stays
+    # exact end to end.
+    dy2 = jnp.zeros((R2, WPAD, f), adt)
+    for orr in (-1, 0, 1):
+        for occ in (-1, 0, 1):
+            par = ((t2i - orr - 1) % 2 == 0) & ((ji - occ) % 2 == 0)
+            ys = jax.lax.slice(ry, (1 - orr, 1 - occ, 0),
+                               (1 - orr + R2, 1 - occ + WPAD, f))
+            ds_ = jax.lax.slice(rdy, (1 - orr, 1 - occ, 0),
+                                (1 - orr + R2, 1 - occ + WPAD, f))
+            fi_ = jax.lax.slice(rfi, (1 - orr, 1 - occ, 0),
+                                (1 - orr + R2, 1 - occ + WPAD, f))
+            # position p is window-internal (orr+1, occ+1) of this window
+            o_idx = jnp.float32(3 * (orr + 1) + (occ + 1))
+            # bf16 cmpf is unsupported on this target; f32 cast is exact
+            hit = (
+                (y23.astype(jnp.float32) == ys.astype(jnp.float32))
+                & par
+                & (fi_.astype(jnp.float32) == o_idx)
+            )
+            dy2 = dy2 + jnp.where(hit, ds_, jnp.zeros((), adt))
+
+    # relu mask + ownership (each global y2 row owned by ONE strip)
+    owned = (t2i >= 2) & (t2i < 2 * PT + 2)
+    dz2 = jnp.where((y23.astype(jnp.float32) > 0) & owned, dy2,
+                    jnp.zeros((), adt))
+    return dz2.reshape(M2, f)
+
+
 def _fwd_kernel(patches_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
                 p2_ref, *, PT, H, W, WPAD, OW, dtype):
     s = pl.program_id(1)
@@ -309,76 +384,13 @@ def _bwd_kernel(patches_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                  WPAD=WPAD, dtype=dtype)
     y2r = _conv2(y1p, w2_ref, b2_ref, p2_ref, s=s, PT=PT, H=H, W=W,
                  WPAD=WPAD, dtype=dtype)
-    f = y2r.shape[1]
     pooled = _pool(y2r, PT=PT, WPAD=WPAD, OW=OW)  # [PT+1, OW, f]
     dy = dy_ref[0, 0]  # [PT+1, OW, f] (row Ploc=0 is the previous
     #                     strip's last pooled row; zero-padded at s=0)
-
-    # ---- pool backward: equality routing, scatter-free -----------------
-    # x2 nearest upsample of (pooled, dy) onto the y2 grid, then 9
-    # shifted compares. y2 local row t2 is covered by pooled local row
-    # Ploc = (t2 - or - 1)/2 when that is an integer (parity mask), and
-    # y2 col j by pooled col Q = (j - oc)/2.
-    # column x2-upsample + padding as ONE selection matmul per row:
-    # up[j, q] = [q == (j - 1) // 2] for j in [1, 2*OW+1) places pooled
-    # col q at padded cols 2q+1 and 2q+2 (i.e. 1 zero pad col in front),
-    # every other padded col stays zero.
-    jj = jax.lax.broadcasted_iota(jnp.int32, (WPAD + 2, OW), 0)
-    qq = jax.lax.broadcasted_iota(jnp.int32, (WPAD + 2, OW), 1)
-    up = ((jj >= 1) & (jj < 2 * OW + 1) & (qq == (jj - 1) // 2))
-
-    def rep2(t):  # [PT+1, OW, f] -> padded [2PT+5, WPAD+2, f]
-        # rows x2 by pair-stack + leading-dim reshape (untiled dims only)
-        upm = up.astype(t.dtype)
-        t = jnp.stack([t, t], axis=1).reshape(2 * (PT + 1), OW, f)
-        rows = [
-            jnp.dot(upm, t[r], preferred_element_type=jnp.float32)
-            .astype(t.dtype)
-            for r in range(2 * (PT + 1))
-        ]
-        t = jnp.stack(rows, axis=0)  # [2PT+2, WPAD+2, f]
-        zr = jnp.zeros((2, WPAD + 2, f), t.dtype)
-        zr1 = jnp.zeros((1, WPAD + 2, f), t.dtype)
-        return jnp.concatenate([zr, t, zr1], axis=0)  # rows: 2 front, 1 back
-
-    adt = _acc_dtype(dtype)
-    # First-match tie-break map (SelectAndScatter parity): window w's
-    # gradient goes ONLY to its first (row-major) max position.
-    first = _pool_first_match(y2r, pooled, PT=PT, WPAD=WPAD, OW=OW)
-    ry, rdy = rep2(pooled), rep2(dy)
-    rfi = rep2(first.astype(dy.dtype))
-    y23 = y2r.reshape(R2, WPAD, f)
-    t2i = jax.lax.broadcasted_iota(jnp.int32, (R2, 1, 1), 0)
-    ji = jax.lax.broadcasted_iota(jnp.int32, (1, WPAD, 1), 1)
-    # All big backward intermediates live in the compute dtype (adt):
-    # bf16 on TPU halves their VMEM (the kernel would not fit otherwise)
-    # at bf16-ulp gradient noise; the f32 path (CPU parity tests) stays
-    # exact end to end.
-    dy2 = jnp.zeros((R2, WPAD, f), adt)
-    for orr in (-1, 0, 1):
-        for occ in (-1, 0, 1):
-            par = ((t2i - orr - 1) % 2 == 0) & ((ji - occ) % 2 == 0)
-            ys = jax.lax.slice(ry, (1 - orr, 1 - occ, 0),
-                               (1 - orr + R2, 1 - occ + WPAD, f))
-            ds_ = jax.lax.slice(rdy, (1 - orr, 1 - occ, 0),
-                                (1 - orr + R2, 1 - occ + WPAD, f))
-            fi_ = jax.lax.slice(rfi, (1 - orr, 1 - occ, 0),
-                                (1 - orr + R2, 1 - occ + WPAD, f))
-            # position p is window-internal (orr+1, occ+1) of this window
-            o_idx = jnp.float32(3 * (orr + 1) + (occ + 1))
-            # bf16 cmpf is unsupported on this target; f32 cast is exact
-            hit = (
-                (y23.astype(jnp.float32) == ys.astype(jnp.float32))
-                & par
-                & (fi_.astype(jnp.float32) == o_idx)
-            )
-            dy2 = dy2 + jnp.where(hit, ds_, jnp.zeros((), adt))
-
-    # relu mask + ownership (each global y2 row owned by ONE strip)
-    owned = (t2i >= 2) & (t2i < 2 * PT + 2)
-    dz2 = jnp.where((y23.astype(jnp.float32) > 0) & owned, dy2,
-                    jnp.zeros((), adt))
-    dz2f = dz2.reshape(M2, f)
+    # ---- pool backward: first-match equality routing, scatter-free -----
+    dz2f = _pool_route_bwd(y2r, pooled, dy, PT=PT, WPAD=WPAD, OW=OW,
+                           dtype=dtype)
+    f = dz2f.shape[1]
 
     # ---- conv2 grads ----------------------------------------------------
     db2_ref[:] += jnp.sum(dz2f.astype(jnp.float32), axis=0, keepdims=True)

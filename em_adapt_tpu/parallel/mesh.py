@@ -200,18 +200,29 @@ def shard_map_ineligibility_reason(mesh, data_axis: str, batch: int) -> str:
     )
 
 
+def resolve_axis_sizes(cfg: MeshConfig, n_devices: int) -> dict[str, int]:
+    """Concrete axis sizes for ``n_devices``, resolving the -1 = "all
+    remaining devices" convention. Raises if a -1 axis cannot divide
+    evenly. Shared by :func:`make_mesh` and callers that need the sizes
+    BEFORE building a mesh (e.g. the CLI's per-shard batch scaling)."""
+    sizes = dict(cfg.axes)
+    fixed = int(np.prod([s for s in sizes.values() if s != -1])) or 1
+    for k, v in sizes.items():
+        if v == -1:
+            if n_devices % fixed != 0:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fixed axes {fixed}"
+                )
+            sizes[k] = n_devices // fixed
+    return sizes
+
+
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> MeshPlan:
     """Build the mesh. Axis size -1 absorbs all remaining devices."""
     cfg = cfg or MeshConfig()
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    sizes = dict(cfg.axes)
-    fixed = int(np.prod([s for s in sizes.values() if s != -1])) or 1
-    for k, v in sizes.items():
-        if v == -1:
-            if n % fixed != 0:
-                raise ValueError(f"{n} devices not divisible by fixed axes {fixed}")
-            sizes[k] = n // fixed
+    sizes = resolve_axis_sizes(cfg, n)
     total = int(np.prod(list(sizes.values())))
     if total != n:
         raise ValueError(f"mesh axes {sizes} use {total} devices, have {n}")

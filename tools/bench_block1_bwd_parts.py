@@ -94,8 +94,8 @@ def main() -> None:
 
             y1p = bp._conv1(patches_ref, w1_ref, b1_ref, s=s, PT=pt, H=H,
                             W=H, WPAD=wpad, dtype=dtype)
-            if mode == "skip_conv2":
-                # stage taps for dw2 (kept) but skip the conv2 dot
+            if mode in ("skip_conv2", "grads_only"):
+                # stage taps for dw2 (always needed) but skip conv2's dot
                 for u in range(3):
                     for v in range(3):
                         off = (u + 1) * wpad + (v - 1)
@@ -112,69 +112,25 @@ def main() -> None:
 
             if mode in ("skip_pool", "grads_only"):
                 # skip ALL pool machinery: fake dz2 from y2r + a dy scalar
-                dz2 = (y2r.astype(adt)
-                       * jnp.sum(dy_slab.astype(jnp.float32)).astype(adt))
-                dz2f = dz2
-            else:
+                dz2f = (y2r.astype(adt)
+                        * jnp.sum(dy_slab.astype(jnp.float32)).astype(adt))
+            elif mode == "skip_fm":
+                # cost of _pool_first_match alone: same routing, but the
+                # first-match map replaced by a constant
+                orig = bp._pool_first_match
+                bp._pool_first_match = lambda *a, **k: jnp.zeros(
+                    (pt + 1, oh, f), jnp.float32)
+                try:
+                    pooled = bp._pool(y2r, PT=pt, WPAD=wpad, OW=oh)
+                    dz2f = bp._pool_route_bwd(y2r, pooled, dy_slab, PT=pt,
+                                              WPAD=wpad, OW=oh, dtype=dtype)
+                finally:
+                    bp._pool_first_match = orig
+            else:  # full — the production composition, via the SHARED
+                # helper so this probe cannot drift from the real kernel
                 pooled = bp._pool(y2r, PT=pt, WPAD=wpad, OW=oh)
-                if mode == "skip_fm":
-                    first = jnp.zeros((pt + 1, oh, f), jnp.float32)
-                else:
-                    first = bp._pool_first_match(y2r, pooled, PT=pt,
-                                                 WPAD=wpad, OW=oh)
-                jj = jax.lax.broadcasted_iota(jnp.int32, (wpad + 2, oh), 0)
-                qq = jax.lax.broadcasted_iota(jnp.int32, (wpad + 2, oh), 1)
-                up = ((jj >= 1) & (jj < 2 * oh + 1) & (qq == (jj - 1) // 2))
-
-                def rep2(t):
-                    upm = up.astype(t.dtype)
-                    t = jnp.stack([t, t], axis=1).reshape(2 * (pt + 1), oh, f)
-                    rows = [
-                        jnp.dot(upm, t[r], preferred_element_type=jnp.float32)
-                        .astype(t.dtype)
-                        for r in range(2 * (pt + 1))
-                    ]
-                    t = jnp.stack(rows, axis=0)
-                    zr = jnp.zeros((2, wpad + 2, f), t.dtype)
-                    zr1 = jnp.zeros((1, wpad + 2, f), t.dtype)
-                    return jnp.concatenate([zr, t, zr1], axis=0)
-
-                ry, rdy = rep2(pooled), rep2(dy_slab)
-                rfi = rep2(first.astype(dy_slab.dtype))
-                y23 = y2r.reshape(R2, wpad, f)
-                t2i = jax.lax.broadcasted_iota(jnp.int32, (R2, 1, 1), 0)
-                ji = jax.lax.broadcasted_iota(jnp.int32, (1, wpad, 1), 1)
-                dy2 = jnp.zeros((R2, wpad, f), adt)
-                for orr in (-1, 0, 1):
-                    for occ in (-1, 0, 1):
-                        par = (((t2i - orr - 1) % 2 == 0)
-                               & ((ji - occ) % 2 == 0))
-                        ys = jax.lax.slice(ry, (1 - orr, 1 - occ, 0),
-                                           (1 - orr + R2, 1 - occ + wpad, f))
-                        ds_ = jax.lax.slice(rdy, (1 - orr, 1 - occ, 0),
-                                            (1 - orr + R2, 1 - occ + wpad, f))
-                        fi_ = jax.lax.slice(rfi, (1 - orr, 1 - occ, 0),
-                                            (1 - orr + R2, 1 - occ + wpad, f))
-                        o_idx = jnp.float32(3 * (orr + 1) + (occ + 1))
-                        hit = (
-                            (y23.astype(jnp.float32) == ys.astype(jnp.float32))
-                            & par
-                            & (fi_.astype(jnp.float32) == o_idx)
-                        )
-                        dy2 = dy2 + jnp.where(hit, ds_, jnp.zeros((), adt))
-                owned = (t2i >= 2) & (t2i < 2 * pt + 2)
-                dz2 = jnp.where((y23.astype(jnp.float32) > 0) & owned, dy2,
-                                jnp.zeros((), adt))
-                dz2f = dz2.reshape(M2, f)
-
-            if mode == "grads_only":
-                # staging still required for dw2
-                for u in range(3):
-                    for v in range(3):
-                        off = (u + 1) * wpad + (v - 1)
-                        t_ = (3 * u + v) * f
-                        p2_ref[0:M2, t_:t_ + f] = jax.lax.slice_in_dim(
-                            y1p, off, off + M2, axis=0)
+                dz2f = bp._pool_route_bwd(y2r, pooled, dy_slab, PT=pt,
+                                          WPAD=wpad, OW=oh, dtype=dtype)
 
             dz2f = dz2f.reshape(M2, f)
             db2_ref[:] += jnp.sum(dz2f.astype(jnp.float32), axis=0,
