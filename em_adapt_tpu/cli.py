@@ -342,7 +342,11 @@ def cmd_train(args) -> int:
             )
         else:
             val_ds = VOCSegmentation(cfg.data, "val")
-        evaluator = Evaluator(cfg, trainer.model)
+        # Single-controller: shard eval over the trainer's mesh so the
+        # periodic eval rides every chip (multi-host keeps the replicated
+        # protocol above; eval.batch_size must divide the data axis).
+        eval_plan = trainer.plan if jax.process_count() == 1 else None
+        evaluator = Evaluator(cfg, trainer.model, plan=eval_plan)
 
         def eval_fn(state):
             params = state.params
@@ -397,6 +401,10 @@ def cmd_train(args) -> int:
     batches = batch_iterator(
         ds, cfg.data, batch_size=cfg.train.batch_size, seed=cfg.train.seed,
         epochs=None, train=True, process_shard=process_shard,
+        # Deterministic data-order resume: each microbatch step consumes
+        # exactly one batch, so the restored step count IS the stream
+        # position (bit-identical to never having stopped).
+        start_step=int(jax.device_get(state.step)),
     )
     if args.device_data:
         import itertools
@@ -466,7 +474,12 @@ def cmd_eval(args) -> int:
         first = next(iter(calib))["image"]
         model, params = quantize_model(cfg.model, params, [first])
         print(f"int8 PTQ: calibrated on {first.shape[0]} images")
-    ev = Evaluator(cfg, model)
+    # Shard the evaluation over the full device mesh (data axis) so eval
+    # uses every chip; single-chip and multi-host fall back to plain jit.
+    ev = Evaluator(
+        cfg, model,
+        plan=trainer.plan if jax.process_count() == 1 else None,
+    )
     crf_applied = False
     if args.fixed_size:
         if args.crf:

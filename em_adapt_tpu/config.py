@@ -15,22 +15,34 @@ from typing import Sequence
 
 @dataclasses.dataclass(frozen=True)
 class EStepConfig:
-    """Adaptive-bias E-step parameters.
+    """E-step parameters.
 
-    Defaults match the reference's production call
-    (reference deeplab.py:181): bg_p=0.4, fg_p=0.2, num_iter=5,
-    suppress_others=True, margin_others=1e-5.
+    ``method="adaptive"`` (default) is the reference's EM-Adapt rank-based
+    adaptive bias; defaults match its production call (reference
+    deeplab.py:181): bg_p=0.4, fg_p=0.2, num_iter=5, suppress_others=True,
+    margin_others=1e-5. ``method="fixed"`` is the paper's EM-Fixed variant
+    (arXiv:1502.02734 §3.3, the reference readme's cited method family,
+    reference readme.md:3): a constant bias added to each PRESENT class's
+    scores — background ``fixed_bg_bias``, present foreground classes
+    ``fixed_fg_bias`` — instead of the rank-based adaptive one; no
+    iterations, no order statistics. The bias magnitudes are recipe
+    hyperparameters in score (logit) units; the paper tunes them per
+    setting rather than publishing universal values.
     """
 
+    method: str = "adaptive"
     bg_p: float = 0.4
     fg_p: float = 0.2
     num_iter: int = 5
     suppress_others: bool = True
     margin_others: float = 1e-5
+    fixed_bg_bias: float = 3.0
+    fixed_fg_bias: float = 5.0
     #: "auto" (fused Pallas kernel on TPU — measured 1.4x faster than the
     #: XLA sort lowering — pure-XLA elsewhere), "jax" (portable), "pallas"
     #: (force the kernel; interpreted off-TPU), or "native" (host C++ via
-    #: ctypes — CPU pipelines / oracle checks only).
+    #: ctypes — CPU pipelines / oracle checks only). method="fixed" is one
+    #: elementwise add — it always runs the plain XLA path.
     impl: str = "auto"
 
 

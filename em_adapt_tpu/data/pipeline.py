@@ -163,12 +163,23 @@ def batch_iterator(
     drop_remainder: bool = True,
     pad_remainder: bool = False,
     process_shard: tuple[int, int] | None = None,
+    start_step: int = 0,
 ) -> Iterator[dict]:
     """Yield {"image" [B,H,W,3] f32, "label" [B,H,W,1] f32, "id" list} batches.
 
     Epoch shuffling uses a per-epoch child PRNG; each sample's augmentation
     gets its own child keyed by (epoch, index) so results are independent
     of worker scheduling.
+
+    ``start_step`` fast-forwards the stream to just after its first
+    ``start_step`` batches WITHOUT decoding the skipped images (epoch
+    permutations are seeded, so only index bookkeeping is needed): batch
+    ``start_step`` onward is bit-identical to a fresh iterator drained
+    that far. This is what makes ``em-adapt train --resume`` deterministic
+    in DATA ORDER too, not just in model/optimizer state — the reference
+    could not resume at all (warm-start restarted its tf.data shuffle from
+    scratch, reference deeplab.py:229-234). With finite ``epochs`` the end
+    point stays absolute (the stream ends where the un-resumed run would).
 
     ``pad_remainder`` (evaluation): a final partial batch is padded to
     ``batch_size`` with all-void (255) labels and ids ``"__pad__"`` so no
@@ -211,8 +222,17 @@ def batch_iterator(
             "process_shard requires drop_remainder or pad_remainder "
             "(a partial batch cannot be split evenly across processes)"
         )
-    root = np.random.SeedSequence([seed, 0xDA7A])
-    epoch = 0
+    if start_step < 0:
+        raise ValueError(f"start_step must be >= 0, got {start_step}")
+    # Batches yielded per epoch (must mirror the yield logic below);
+    # max(1) only guards the degenerate empty-dataset divide (an n=0
+    # stream yields nothing regardless of where it starts).
+    if pad_remainder or not drop_remainder:
+        batches_per_epoch = max(-(-n // batch_size), 1)
+    else:
+        batches_per_epoch = max(n // batch_size, 1)
+    epoch = start_step // batches_per_epoch
+    to_skip = start_step % batches_per_epoch
 
     def load_one(epoch: int, idx: int) -> tuple[np.ndarray, np.ndarray]:
         img, label = dataset.load_raw(idx)
@@ -260,6 +280,9 @@ def batch_iterator(
             for start in range(0, n, batch_size):
                 gidxs = perm[start : start + batch_size]
                 if len(gidxs) < batch_size and drop_remainder and not pad_remainder:
+                    continue
+                if to_skip > 0:  # fast-forward: skip before any decode work
+                    to_skip -= 1
                     continue
                 # -1 marks a pad row (all-void label, zero image).
                 if len(gidxs) < batch_size and pad_remainder:

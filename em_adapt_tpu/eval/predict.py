@@ -25,24 +25,94 @@ from em_adapt_tpu.eval.miou import ConfusionAccumulator
 
 
 class Evaluator:
-    def __init__(self, cfg: ExperimentConfig, model):
+    """``plan`` (optional ``parallel.mesh.MeshPlan``): shard evaluation
+    over the mesh's data axis so eval rides EVERY chip instead of leaving
+    n-1 idle — batches are device_put batch-sharded (and spatially sharded
+    when the mesh has a space axis) before each jitted call, and XLA's
+    SPMD partitioner splits the network + post-process across the mesh.
+    Any batch size works: batches whose size the data axis can't divide
+    are zero-padded up to the next multiple before sharding and the extra
+    rows sliced off the result (padding an eval batch is already the
+    static-shape discipline of this module, see flush()). Single-
+    controller only (multi-host eval stays replicated per process — see
+    cli.py's multihost eval_fn rationale). Results are identical to
+    unsharded eval (pinned by tests/test_parallel.py)."""
+
+    def __init__(self, cfg: ExperimentConfig, model, plan=None):
         self.cfg = cfg
         self.model = model
+        if plan is not None and jax.process_count() > 1:
+            raise ValueError(
+                "Evaluator(plan=...) is single-controller only; multi-host "
+                "runs evaluate replicated per process (cli.py eval_fn)"
+            )
+        self.plan = plan if plan is not None and plan.mesh.size > 1 else None
         self._jit_logits = jax.jit(
             lambda params, img: model.apply(params, img, train=False)
         )
         self._jit_predict = jax.jit(lambda params, img: model.predict(params, img)[1])
 
+    def _padded_size(self, n: int) -> int:
+        """Smallest batch size >= n the mesh's data axis divides evenly
+        (n itself without a plan)."""
+        if self.plan is None:
+            return n
+        d = self.plan.num_data_shards
+        return -(-n // d) * d
+
+    def _shard(self, array, *, image_like: bool = True):
+        """Batch-shard a host array over the mesh when a plan is set (the
+        no-plan path keeps plain jnp.asarray placement)."""
+        if self.plan is None:
+            return jnp.asarray(array)
+        if image_like:
+            # dict path = _leaf_sharding: space-axis sharding with the
+            # divisibility diagnostics (and data-only fallback for
+            # non-image ranks)
+            return self.plan.shard_batch({"image": array})["image"]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            array, NamedSharding(self.plan.mesh, P(self.plan.data_axis))
+        )
+
     def predict_batch(self, params, images: jax.Array) -> jax.Array:
         """[B,H,W] int32 hard predictions at input resolution."""
-        return self._jit_predict(params, images)
+        n = images.shape[0]
+        m = self._padded_size(n)
+        if m != n:
+            images = np.concatenate(
+                [np.asarray(images),
+                 np.zeros((m - n,) + tuple(images.shape[1:]),
+                          np.asarray(images).dtype)]
+            )
+        pred = self._jit_predict(self._ensure_params(params), self._shard(images))
+        return pred[:n] if m != n else pred
+
+    def _ensure_params(self, params):
+        """Replicate params onto the mesh once per evaluation. Params that
+        already live on the FULL mesh — e.g. straight from training,
+        possibly TP-sharded — pass through untouched; anything else (host
+        numpy, or arrays committed to a single device like freshly
+        calibrated int8 qparams) would make jit raise an incompatible-
+        devices error against mesh-sharded batch inputs."""
+        if self.plan is None:
+            return params
+        mesh_devices = set(self.plan.mesh.devices.flat)
+        ok = all(
+            isinstance(leaf, jax.Array)
+            and set(leaf.sharding.device_set) == mesh_devices
+            for leaf in jax.tree_util.tree_leaves(params)
+        )
+        return params if ok else self.plan.replicate(params)
 
     def evaluate_fixed(self, params, batches) -> tuple[float, np.ndarray]:
         """Fast mIoU at the fixed input resolution (labels resized the same
         way the train pipeline resizes them)."""
+        params = self._ensure_params(params)
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
         for batch in batches:
-            pred = self.predict_batch(params, jnp.asarray(batch["image"]))
+            pred = self.predict_batch(params, batch["image"])
             gt = jnp.asarray(batch["label"][..., 0])
             acc.update(pred, gt)
         return acc.result()
@@ -57,6 +127,8 @@ class Evaluator:
         before the argmax.
         """
         from em_adapt_tpu.data.augment import preprocess_eval
+
+        params = self._ensure_params(params)
 
         eval_cfg: EvalConfig = self.cfg.eval
         use_crf = eval_cfg.use_crf if use_crf is None else use_crf
@@ -109,15 +181,18 @@ class Evaluator:
                 return
             n = len(pend_imgs)
             stack = np.stack(pend_imgs)
-            if n < bs:
+            tgt = self._padded_size(bs)
+            if n < tgt:
                 # Pad the tail chunk to the full batch shape: a smaller
                 # final batch would retrace _jit_logits — a fresh
                 # multi-minute remote compile for one leftover shape
-                # (same rationale as pipeline.py's pad_remainder).
+                # (same rationale as pipeline.py's pad_remainder). With a
+                # mesh plan the target also rounds up to a data-axis
+                # multiple so the batch shards evenly.
                 stack = np.concatenate(
-                    [stack, np.zeros((bs - n,) + stack.shape[1:], stack.dtype)]
+                    [stack, np.zeros((tgt - n,) + stack.shape[1:], stack.dtype)]
                 )
-            logits = jax.device_get(self._jit_logits(params, jnp.asarray(stack)))
+            logits = jax.device_get(self._jit_logits(params, self._shard(stack)))
             for lg, (raw_img, raw_label) in zip(logits[:n], pend_raw):
                 futures.append(
                     (pool.submit(_post, lg, raw_img, raw_label), raw_label)
@@ -221,6 +296,7 @@ class Evaluator:
         bucket an image lands in (tests/test_crf_tpu.py pins both)."""
         from em_adapt_tpu.data.augment import preprocess_eval
 
+        params = self._ensure_params(params)
         eval_cfg: EvalConfig = self.cfg.eval
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
         max_bucket = tuple(eval_cfg.crf_bucket)
@@ -259,25 +335,33 @@ class Evaluator:
                 return
             bh, bw = bucket
             n = len(pend)
+            tgt = self._padded_size(bs)
             stack = np.stack([p[0] for p in pend])
-            if n < bs:
+            if n < tgt:
                 stack = np.concatenate(
-                    [stack, np.zeros((bs - n,) + stack.shape[1:], stack.dtype)]
+                    [stack, np.zeros((tgt - n,) + stack.shape[1:], stack.dtype)]
                 )
-            logits = self._jit_logits(params, jnp.asarray(stack))
-            rgbs = np.zeros((bs, bh, bw, 3), np.uint8)
+            logits = self._jit_logits(params, self._shard(stack))
+            rgbs = np.zeros((tgt, bh, bw, 3), np.uint8)
             # Padded tail images keep size (1,1): a nonzero size keeps the
             # dynamic-resize division finite (0 would put NaNs through that
             # lane's CRF); their outputs are never read.
-            sizes = np.ones((bs, 2), np.int32)
+            sizes = np.ones((tgt, 2), np.int32)
             for i, (_, raw_img, raw_label) in enumerate(pend):
                 oh, ow = raw_label.shape[:2]
                 rgbs[i, :oh, :ow] = raw_img
                 sizes[i] = (oh, ow)
             if bucket not in posts:
                 posts[bucket] = self._make_device_voc_post(bucket)
+            # Data-axis-only sharding for the post-process inputs: the
+            # per-image CRF has no spatial halo exchange, so the guide
+            # image must stay whole on its shard.
             labels = np.asarray(
-                posts[bucket](logits, jnp.asarray(rgbs), jnp.asarray(sizes))
+                posts[bucket](
+                    logits,
+                    self._shard(rgbs, image_like=False),
+                    self._shard(sizes, image_like=False),
+                )
             )
             for i, (_, _, raw_label) in enumerate(pend):
                 oh, ow = raw_label.shape[:2]

@@ -141,6 +141,41 @@ def estep(
     return f + (before - after)[:, None, None, None]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("bg_bias", "fg_bias", "suppress_others", "margin_others"),
+)
+def estep_fixed(
+    scores: jax.Array,
+    label: jax.Array,
+    *,
+    bg_bias: float = 3.0,
+    fg_bias: float = 5.0,
+    suppress_others: bool = True,
+    margin_others: float = 1e-5,
+) -> jax.Array:
+    """EM-Fixed E-step (arXiv:1502.02734 §3.3): add a CONSTANT bias to each
+    present class's scores — ``bg_bias`` for background, ``fg_bias`` for
+    present foreground classes — instead of EM-Adapt's rank-derived
+    adaptive one. Classes absent from the image tag set get no bias (and
+    are optionally clamped below the present-class min exactly like the
+    adaptive path, reference estep.py:46-55). One elementwise add: no
+    iterations, no sort, nothing for a custom kernel to win.
+
+    Returns the biased [B, H, W, C] float32 score map (stop-gradient at
+    the call site, like :func:`estep`).
+    """
+    f = scores.astype(jnp.float32)
+    c = f.shape[-1]
+    tags = derive_tags(label, c)  # [B,C] float32
+    if suppress_others:
+        f = suppress_absent(f, tags, margin_others)
+    per_class = jnp.where(
+        jnp.arange(c) == 0, jnp.float32(bg_bias), jnp.float32(fg_bias)
+    )
+    return f + (tags * per_class)[:, None, None, :]
+
+
 def _estep_pallas_dp(scores, label, orders, mesh, data_axis: str, kw: dict):
     """Run the Pallas E-step kernel under ``shard_map`` over ``data_axis``.
 
@@ -192,17 +227,38 @@ def estep_labels(
     (reference deeplab.py:122-123); py_func has no gradient, which we make
     explicit with ``stop_gradient``.
 
+    ``cfg.method`` selects the bias rule: "adaptive" (EM-Adapt, the
+    reference algorithm) or "fixed" (EM-Fixed, arXiv:1502.02734 §3.3 —
+    constant present-class biases; ``orders`` is ignored and may be None).
+
     ``mesh``/``data_axis``: the device mesh the surrounding computation is
     sharded over. On a multi-device mesh the Pallas kernel runs under
     ``shard_map`` over the data axis (see :func:`_estep_pallas_dp`);
     without a mesh, multi-device "auto" falls back to the XLA sort path.
     """
     b, h, w, c = scores.shape
+    if cfg.method not in ("adaptive", "fixed"):
+        raise ValueError(
+            f"estep.method={cfg.method!r}: expected 'adaptive' (EM-Adapt) "
+            "or 'fixed' (EM-Fixed, arXiv:1502.02734 §3.3)"
+        )
     if cfg.impl not in ("auto", "jax", "pallas", "native"):
         raise ValueError(
             f"estep.impl={cfg.impl!r}: expected one of "
             "'auto', 'jax', 'pallas', 'native'"
         )
+    if cfg.method == "fixed":
+        # One elementwise add — fully partitionable by GSPMD on any mesh;
+        # every impl choice lowers to the same XLA program.
+        biased = estep_fixed(
+            jax.lax.stop_gradient(scores),
+            label,
+            bg_bias=cfg.fixed_bg_bias,
+            fg_bias=cfg.fixed_fg_bias,
+            suppress_others=cfg.suppress_others,
+            margin_others=cfg.margin_others,
+        )
+        return jnp.argmax(biased, axis=3).astype(jnp.int32)
     if cfg.impl == "native":
         # Host C++ kernel via pure_callback: CPU pipelines / cross-checks.
         # The callback is pure (out-of-place, explicit orders), so it is

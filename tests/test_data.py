@@ -146,6 +146,32 @@ def test_batch_iterator_epochs_and_determinism():
     assert batches[0]["id"] != batches[2]["id"]
 
 
+def test_batch_iterator_start_step_resumes_data_order():
+    """start_step=k == draining k batches: bit-identical stream, absolute
+    end point, across an epoch boundary (10 imgs / batch 4 -> 2/epoch)."""
+    ds = SyntheticVOC(n=10, seed=3)
+    cfg = DataConfig(input_size=(33, 33), num_workers=2)
+    kw = dict(batch_size=4, seed=5, epochs=3, train=True)
+    full = list(batch_iterator(ds, cfg, **kw))
+    assert len(full) == 6
+    for k in (1, 3, 5):  # mid-epoch, boundary-crossing, last
+        resumed = list(batch_iterator(ds, cfg, **kw, start_step=k))
+        assert len(resumed) == len(full) - k  # absolute end point
+        for a, b in zip(full[k:], resumed):
+            assert a["id"] == b["id"]
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+    # pad_remainder counts the padded tail batch as a step
+    kw_pad = dict(batch_size=4, seed=5, epochs=2, train=True,
+                  pad_remainder=True)
+    full_pad = list(batch_iterator(ds, cfg, **kw_pad))
+    assert len(full_pad) == 6
+    resumed_pad = list(batch_iterator(ds, cfg, **kw_pad, start_step=4))
+    assert [b["id"] for b in resumed_pad] == [b["id"] for b in full_pad[4:]]
+    with pytest.raises(ValueError, match="start_step"):
+        next(batch_iterator(ds, cfg, **kw, start_step=-1))
+
+
 def test_batch_iterator_eval_order():
     ds = SyntheticVOC(n=6, seed=3, category="val")
     cfg = DataConfig(input_size=(33, 33), num_workers=2)

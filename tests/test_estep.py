@@ -244,3 +244,106 @@ def test_edge_parameter_fuzz_all_impls_agree(rng):
             )
             np.testing.assert_allclose(nat, want, atol=atol, rtol=0,
                                        err_msg=f"case {i}: native scores")
+
+
+def test_estep_fixed_matches_hand_computation(rng):
+    """EM-Fixed (arXiv:1502.02734 §3.3): present classes get a constant
+    bias (bg/fg), absent classes none — checked against a direct numpy
+    computation, suppression on and off."""
+    from em_adapt_tpu.ops.estep import estep_fixed
+
+    g = np.random.default_rng(11)
+    b, h, w, c = 2, 6, 5, 4
+    scores = g.normal(size=(b, h, w, c)).astype(np.float32)
+    # image 0 has classes {0, 2}; image 1 has {1, 3} (no background)
+    label = np.zeros((b, h, w), np.float32)
+    label[0, 2:, :] = 2.0
+    label[1] = 1.0
+    label[1, :, 3:] = 3.0
+    tags = np.zeros((b, c), np.float32)
+    tags[0, [0, 2]] = 1.0
+    tags[1, [1, 3]] = 1.0
+
+    for suppress in (False, True):
+        f = scores.astype(np.float32).copy()
+        if suppress:
+            gmax = f.max()
+            lifted = f + np.where(tags[:, None, None, :] > 0, 0.0, gmax)
+            pmin = lifted.min(axis=3, keepdims=True)
+            clamp = (tags[:, None, None, :] == 0) & (f > pmin)
+            f = np.where(clamp, pmin - np.float32(1e-5), f)
+        per_class = np.where(np.arange(c) == 0, 3.25, 7.5).astype(np.float32)
+        want = f + (tags * per_class)[:, None, None, :]
+        got = np.asarray(
+            estep_fixed(
+                jnp.asarray(scores), jnp.asarray(label),
+                bg_bias=3.25, fg_bias=7.5, suppress_others=suppress,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_estep_labels_fixed_method_predicts_only_present_classes(rng):
+    """With suppression on and positive biases, an absent class can never
+    win the argmax (clamped below the present min, then present classes
+    move further up); and the label map equals the argmax of estep_fixed."""
+    from em_adapt_tpu.config import EStepConfig
+    from em_adapt_tpu.ops.estep import estep_fixed, estep_labels
+
+    g = np.random.default_rng(5)
+    b, h, w, c = 3, 8, 8, 6
+    scores = jnp.asarray(g.normal(size=(b, h, w, c)).astype(np.float32) * 4)
+    label = np.zeros((b, h, w), np.float32)
+    label[0] = 255.0  # no tags at all in image 0 -> nothing suppressed
+    label[1, :4] = 2.0
+    label[2, :, :2] = 4.0
+    label[2, :, 2:] = 5.0
+    cfg = EStepConfig(method="fixed", fixed_bg_bias=2.0, fixed_fg_bias=4.0)
+    got = np.asarray(estep_labels(scores, jnp.asarray(label), None, cfg))
+    want = np.asarray(
+        estep_fixed(scores, jnp.asarray(label), bg_bias=2.0, fg_bias=4.0)
+    ).argmax(-1)
+    np.testing.assert_array_equal(got, want)
+    # images 1 and 2 have tags {0,2} and {0,4,5}: predictions stay inside
+    assert set(np.unique(got[1])) <= {0, 2}
+    assert set(np.unique(got[2])) <= {0, 4, 5}
+
+
+def test_estep_labels_rejects_unknown_method(rng):
+    from em_adapt_tpu.config import EStepConfig
+    from em_adapt_tpu.ops.estep import estep_labels
+
+    scores = jnp.zeros((1, 4, 4, 3), jnp.float32)
+    label = jnp.zeros((1, 4, 4), jnp.float32)
+    with pytest.raises(ValueError, match="estep.method"):
+        estep_labels(scores, label, None, EStepConfig(method="typo"))
+
+
+def test_trainer_step_with_fixed_method(rng):
+    """method='fixed' trains end-to-end (the E-step swap is config-only)."""
+    from em_adapt_tpu.config import (
+        EStepConfig,
+        ExperimentConfig,
+        MeshConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(32, 32), fc6_channels=8),
+        estep=EStepConfig(method="fixed"),
+        optim=OptimConfig(accum_steps=1),
+        train=TrainConfig(batch_size=8),
+        mesh=MeshConfig(axes=(("data", 8),)),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=4)
+    state = trainer.init_state()
+    g = np.random.default_rng(0)
+    batch = {
+        "image": g.normal(size=(8, 32, 32, 3)).astype(np.float32),
+        "label": g.integers(0, 4, size=(8, 32, 32, 1)).astype(np.float32),
+    }
+    state, m = trainer.train_step(state, trainer.plan.shard_batch(batch))
+    assert np.isfinite(float(jax.device_get(m["loss"])))

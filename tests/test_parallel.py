@@ -167,3 +167,129 @@ def test_pallas_impls_on_mesh_match_xla_impls(rng):
     loss_pallas = run("pallas", "pallas")
     loss_xla = run("xla", "jax")
     assert loss_pallas == pytest.approx(loss_xla, abs=2e-5)
+
+
+def test_mesh_sharded_eval_matches_single_device():
+    """Evaluator(plan=...) shards evaluation over the mesh's data axis:
+    mIoU and per-class IoU must equal the single-device jit path for both
+    the fixed-size protocol and the VOC original-resolution protocol, and
+    the prediction must actually land on all 8 devices."""
+    from em_adapt_tpu.config import DataConfig, EvalConfig
+    from em_adapt_tpu.data.pipeline import SyntheticVOC, batch_iterator
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.models import DeepLabLargeFOV
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8),
+        data=DataConfig(input_size=(33, 33)),
+        eval=EvalConfig(batch_size=8, use_crf=False),
+    )
+    model = DeepLabLargeFOV(cfg.model)
+    params = model.init(jax.random.key(0))
+    ds = SyntheticVOC(n=10, num_classes=4, seed=1, category="val")
+    plan = make_mesh(MeshConfig(axes=(("data", 8),)))
+    ev1 = Evaluator(cfg, model)
+    ev8 = Evaluator(cfg, model, plan=plan)
+    assert ev8.plan is not None
+
+    def batches():
+        return batch_iterator(
+            ds, cfg.data, batch_size=8, seed=0, epochs=1, train=False,
+            drop_remainder=False, pad_remainder=True,
+        )
+
+    miou1, iou1 = ev1.evaluate_fixed(params, batches())
+    miou8, iou8 = ev8.evaluate_fixed(params, batches())
+    assert miou8 == pytest.approx(miou1, abs=1e-12)
+    np.testing.assert_allclose(iou8, iou1, atol=1e-12)
+
+    # the sharded path really uses the whole mesh
+    b = next(iter(batches()))
+    pred = ev8.predict_batch(params, b["image"])
+    assert len(pred.sharding.device_set) == 8
+
+    vm1, vi1 = ev1.evaluate_voc(params, ds, use_crf=False)
+    vm8, vi8 = ev8.evaluate_voc(params, ds, use_crf=False)
+    assert vm8 == pytest.approx(vm1, abs=1e-12)
+    np.testing.assert_allclose(vi8, vi1, atol=1e-12)
+
+
+def test_mesh_sharded_eval_indivisible_batch_pads_up():
+    """A batch size the data axis cannot divide (the default eval batch 6
+    on an 8-chip mesh) is zero-padded to the next multiple and the pad
+    rows sliced off — sharded results still match single-device exactly."""
+    from em_adapt_tpu.config import DataConfig, EvalConfig
+    from em_adapt_tpu.data.pipeline import SyntheticVOC
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.models import DeepLabLargeFOV
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8),
+        data=DataConfig(input_size=(33, 33)),
+        eval=EvalConfig(batch_size=3, use_crf=False),
+    )
+    model = DeepLabLargeFOV(cfg.model)
+    params = model.init(jax.random.key(0))
+    ds = SyntheticVOC(n=7, num_classes=4, seed=2, category="val")
+    plan = make_mesh(MeshConfig(axes=(("data", 8),)))
+    ev1 = Evaluator(cfg, model)
+    ev8 = Evaluator(cfg, model, plan=plan)
+    g = np.random.default_rng(0)
+    imgs = g.normal(size=(3, 33, 33, 3)).astype(np.float32)
+    # Exact contract: sharded eval of 3 images == unsharded eval of the
+    # SAME zero-padded batch-8 (what the pad-up does internally). Sharded
+    # vs unsharded at equal shape is bit-identical (test above); across
+    # DIFFERENT batch shapes XLA's fusion shifts ulps, so that is not the
+    # promise.
+    imgs8 = np.concatenate([imgs, np.zeros((5, 33, 33, 3), np.float32)])
+    p1 = np.asarray(ev1.predict_batch(params, imgs8))[:3]
+    p8 = np.asarray(ev8.predict_batch(params, imgs))
+    assert p8.shape == (3, 33, 33)
+    np.testing.assert_array_equal(p8, p1)
+    # Tolerance contract for the full protocol (batch 3 unsharded pads to
+    # 3, sharded pads to 8 — shape-dependent ulps can flip near-tie
+    # argmax pixels of an UNTRAINED net; real margins dwarf this).
+    vm1, vi1 = ev1.evaluate_voc(params, ds, use_crf=False)
+    vm8, vi8 = ev8.evaluate_voc(params, ds, use_crf=False)
+    assert vm8 == pytest.approx(vm1, abs=1e-3)
+    np.testing.assert_allclose(vi8, vi1, atol=1e-3)
+
+
+def test_mesh_sharded_device_crf_eval_matches_single_device():
+    """The on-device batched CRF eval (crf_impl='tpu') sharded over the
+    data axis reproduces the single-device confusion exactly (per-image
+    computation; batch sharding is a layout choice)."""
+    from em_adapt_tpu.config import EvalConfig
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.models import DeepLabLargeFOV
+
+    class _TinyValDS:
+        ids = [f"t{i}" for i in range(5)]
+
+        def __len__(self):
+            return 5
+
+        def load_raw(self, i):
+            g = np.random.default_rng(50 + i)
+            h, w = [(20, 24), (24, 20), (18, 18), (24, 24), (19, 23)][i]
+            img = g.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            lab = g.integers(0, 4, size=(h, w)).astype(np.uint8)
+            return img, lab
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8),
+        eval=EvalConfig(
+            batch_size=8, crf_impl="tpu", crf_bucket=(24, 24),
+            crf_buckets=(), crf_iterations=2, use_crf=True,
+        ),
+    )
+    model = DeepLabLargeFOV(cfg.model)
+    params = model.init(jax.random.key(0))
+    ds = _TinyValDS()
+    plan = make_mesh(MeshConfig(axes=(("data", 8),)))
+    m1, i1 = Evaluator(cfg, model).evaluate_voc(params, ds, use_crf=True)
+    m8, i8 = Evaluator(cfg, model, plan=plan).evaluate_voc(
+        params, ds, use_crf=True
+    )
+    assert m8 == pytest.approx(m1, abs=1e-12)
+    np.testing.assert_allclose(i8, i1, atol=1e-12)

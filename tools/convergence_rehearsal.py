@@ -120,7 +120,9 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                   lr_drop_epoch: int | None = None, estep_iters: int = 5,
                   suppress_others: bool = True, block1_impl: str = "auto",
                   dropout_keep_prob: float = 0.5, random_scale: bool = False,
-                  refine_steps: int = 500, log=print) -> dict:
+                  refine_steps: int = 500, estep_method: str = "adaptive",
+                  fixed_bg_bias: float = 3.0, fixed_fg_bias: float = 5.0,
+                  log=print) -> dict:
     """The weak-tags-only EM arm — a TWO-PHASE protocol.
 
     Round-2/3 diagnosis chain (VERDICT weakness #2):
@@ -171,8 +173,11 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                           fc6_channels=64,
                           dropout_keep_prob=dropout_keep_prob,
                           init_scheme="he", block1_impl=block1_impl),
-        estep=EStepConfig(num_iter=estep_iters, bg_p=0.4, fg_p=0.2,
-                          suppress_others=suppress_others),
+        estep=EStepConfig(method=estep_method, num_iter=estep_iters,
+                          bg_p=0.4, fg_p=0.2,
+                          suppress_others=suppress_others,
+                          fixed_bg_bias=fixed_bg_bias,
+                          fixed_fg_bias=fixed_fg_bias),
         optim=OptimConfig(base_lr=1e-3, accum_steps=1, lr_schedule=schedule),
         data=DataConfig(input_size=(size, size), num_workers=2,
                         random_scale=random_scale),
@@ -295,8 +300,12 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
         "input_size": size,
         "steps": steps,
         "seed": seed,
+        "estep_method": estep_method,
         "estep_num_iter": estep_iters,
         "suppress_others": suppress_others,
+        "fixed_biases": (
+            [fixed_bg_bias, fixed_fg_bias] if estep_method == "fixed" else None
+        ),
         "lr_drop_epoch": lr_drop_epoch,
         "dropout_keep_prob": dropout_keep_prob,
         "random_scale": random_scale,
@@ -342,11 +351,15 @@ def _aggregate(runs: list[dict]) -> dict:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("weak", "strong", "ablation"),
+    ap.add_argument("--mode", choices=("weak", "strong", "ablation", "fixed"),
                     default="weak",
                     help="'ablation' = no-bias self-training arm "
                          "(estep num_iter=0, suppression off): the lift "
-                         "the adaptive bias must beat")
+                         "the adaptive bias must beat; 'fixed' = the "
+                         "EM-Fixed variant (estep.method=fixed, "
+                         "arXiv:1502.02734 §3.3) on the same task")
+    ap.add_argument("--fixed-bg-bias", type=float, default=3.0)
+    ap.add_argument("--fixed-fg-bias", type=float, default=5.0)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seeds", type=int, default=5,
@@ -414,6 +427,26 @@ def main(argv=None) -> int:
         # bias, not argmax drift, drives the main arm's lift
         result["pass"] = bool(result["peak_miou"] < 0.24)
         out = args.out or "CONVERGENCE_ABLATION.json"
+    elif args.mode == "fixed":
+        result = _aggregate([
+            run_rehearsal(steps=args.steps or 2500, seed=s, lr_drop_epoch=drop,
+                          estep_method="fixed",
+                          fixed_bg_bias=args.fixed_bg_bias,
+                          fixed_fg_bias=args.fixed_fg_bias,
+                          dropout_keep_prob=args.dropout,
+                          random_scale=args.random_scale,
+                          refine_steps=args.refine_steps,
+                          log=lambda m, s=s: print(f"[seed {s}] {m}", flush=True))
+            for s in seeds
+        ])
+        result["task"] += " [EM-Fixed variant]"
+        # EM-Fixed must also clear the all-background fixed point (its
+        # constant bias is NOT scale-free like the adaptive rank bias, so
+        # the contract is looser; the paper, too, reports EM-Fixed weaker
+        # than EM-Adapt in the weak-tags-only setting — arXiv:1502.02734
+        # Table 1: 20.8 vs 38.2 mIoU)
+        result["pass"] = bool(result["peak_miou"] >= 0.22)
+        out = args.out or "CONVERGENCE_FIXED.json"
     else:
         result = run_supervised_rehearsal(steps=args.steps or 800,
                                           seed=args.seed)
