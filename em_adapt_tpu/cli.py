@@ -344,7 +344,8 @@ def cmd_train(args) -> int:
             val_ds = VOCSegmentation(cfg.data, "val")
         # Single-controller: shard eval over the trainer's mesh so the
         # periodic eval rides every chip (multi-host keeps the replicated
-        # protocol above; eval.batch_size must divide the data axis).
+        # protocol above; any eval.batch_size works — the Evaluator rounds
+        # its chunks up to a data-axis multiple).
         eval_plan = trainer.plan if jax.process_count() == 1 else None
         evaluator = Evaluator(cfg, trainer.model, plan=eval_plan)
 

@@ -60,6 +60,17 @@ class Evaluator:
         d = self.plan.num_data_shards
         return -(-n // d) * d
 
+    @staticmethod
+    def _pad_rows(stack: np.ndarray, target: int) -> np.ndarray:
+        """Zero-pad dim 0 up to ``target`` rows (shared by predict_batch
+        and both evaluate_voc flushes — one place to fix pad semantics)."""
+        n = stack.shape[0]
+        if n >= target:
+            return stack
+        return np.concatenate(
+            [stack, np.zeros((target - n,) + stack.shape[1:], stack.dtype)]
+        )
+
     def _shard(self, array, *, image_like: bool = True):
         """Batch-shard a host array over the mesh when a plan is set (the
         no-plan path keeps plain jnp.asarray placement)."""
@@ -81,11 +92,7 @@ class Evaluator:
         n = images.shape[0]
         m = self._padded_size(n)
         if m != n:
-            images = np.concatenate(
-                [np.asarray(images),
-                 np.zeros((m - n,) + tuple(images.shape[1:]),
-                          np.asarray(images).dtype)]
-            )
+            images = self._pad_rows(np.asarray(images), m)
         pred = self._jit_predict(self._ensure_params(params), self._shard(images))
         return pred[:n] if m != n else pred
 
@@ -132,7 +139,10 @@ class Evaluator:
 
         eval_cfg: EvalConfig = self.cfg.eval
         use_crf = eval_cfg.use_crf if use_crf is None else use_crf
-        bs = batch_size or eval_cfg.batch_size
+        # Round the chunk size itself up to a data-axis multiple: padding
+        # only the dispatch (not the accumulation) would waste the pad
+        # lanes of EVERY batch, not just the tail's.
+        bs = self._padded_size(batch_size or eval_cfg.batch_size)
         if eval_cfg.crf_impl not in ("host", "tpu"):
             # Validate eagerly: a typo ("device", "TPU", ...) would
             # otherwise silently select the host worker-pool CRF.
@@ -180,18 +190,12 @@ class Evaluator:
             if not pend_imgs:
                 return
             n = len(pend_imgs)
-            stack = np.stack(pend_imgs)
-            tgt = self._padded_size(bs)
-            if n < tgt:
-                # Pad the tail chunk to the full batch shape: a smaller
-                # final batch would retrace _jit_logits — a fresh
-                # multi-minute remote compile for one leftover shape
-                # (same rationale as pipeline.py's pad_remainder). With a
-                # mesh plan the target also rounds up to a data-axis
-                # multiple so the batch shards evenly.
-                stack = np.concatenate(
-                    [stack, np.zeros((tgt - n,) + stack.shape[1:], stack.dtype)]
-                )
+            # Pad the tail chunk to the full batch shape: a smaller final
+            # batch would retrace _jit_logits — a fresh multi-minute
+            # remote compile for one leftover shape (same rationale as
+            # pipeline.py's pad_remainder); bs is already a data-axis
+            # multiple under a mesh plan.
+            stack = self._pad_rows(np.stack(pend_imgs), bs)
             logits = jax.device_get(self._jit_logits(params, self._shard(stack)))
             for lg, (raw_img, raw_label) in zip(logits[:n], pend_raw):
                 futures.append(
@@ -296,7 +300,7 @@ class Evaluator:
         bucket an image lands in (tests/test_crf_tpu.py pins both)."""
         from em_adapt_tpu.data.augment import preprocess_eval
 
-        params = self._ensure_params(params)
+        # params already ensured by evaluate_voc (the only caller)
         eval_cfg: EvalConfig = self.cfg.eval
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
         max_bucket = tuple(eval_cfg.crf_bucket)
@@ -335,18 +339,13 @@ class Evaluator:
                 return
             bh, bw = bucket
             n = len(pend)
-            tgt = self._padded_size(bs)
-            stack = np.stack([p[0] for p in pend])
-            if n < tgt:
-                stack = np.concatenate(
-                    [stack, np.zeros((tgt - n,) + stack.shape[1:], stack.dtype)]
-                )
+            stack = self._pad_rows(np.stack([p[0] for p in pend]), bs)
             logits = self._jit_logits(params, self._shard(stack))
-            rgbs = np.zeros((tgt, bh, bw, 3), np.uint8)
+            rgbs = np.zeros((bs, bh, bw, 3), np.uint8)
             # Padded tail images keep size (1,1): a nonzero size keeps the
             # dynamic-resize division finite (0 would put NaNs through that
             # lane's CRF); their outputs are never read.
-            sizes = np.ones((tgt, 2), np.int32)
+            sizes = np.ones((bs, 2), np.int32)
             for i, (_, raw_img, raw_label) in enumerate(pend):
                 oh, ow = raw_label.shape[:2]
                 rgbs[i, :oh, :ow] = raw_img
