@@ -61,6 +61,31 @@ def test_committed_ablation_artifact_shows_bias_drives_lift():
     assert r["peak_miou"] - a["peak_miou"] >= 0.04
 
 
+def test_committed_em_fixed_artifact_shows_adaptive_bias_is_load_bearing():
+    """The EM-Fixed comparison arm (estep.method='fixed', arXiv:1502.02734
+    §3.3) swept over bias scales must stay in the trivial range from
+    random init on every setting — its constant bias lacks the per-image
+    scale adaptation that lets EM-Adapt bootstrap (the paper reports
+    EM-Fixed far weaker even WITH pretrained features: 20.8 vs 38.2) —
+    while the variant itself trains stably end-to-end."""
+    fixed = os.path.join(REPO, "CONVERGENCE_FIXED.json")
+    assert os.path.exists(fixed), (
+        "run tools/convergence_rehearsal.py --mode fixed on TPU"
+    )
+    with open(fixed) as f:
+        x = json.load(f)
+    with open(ARTIFACT) as f:
+        r = json.load(f)
+    assert x["pass"] is True
+    assert x["estep_method"] == "fixed"
+    assert len(x["bias_sweep"]) >= 3
+    assert all(arm["peak_miou"] < 0.24 for arm in x["bias_sweep"])
+    assert r["peak_miou"] - max(
+        arm["peak_miou"] for arm in x["bias_sweep"]
+    ) >= 0.04
+    assert x["aborted_by_watchdog"] is None
+
+
 def test_committed_supervised_artifact_passes():
     """The strong-pixel-mask arm (semi_supervised path) must reach real
     segmentation quality from 25 labeled images — the supervised-loss

@@ -293,3 +293,36 @@ def test_mesh_sharded_device_crf_eval_matches_single_device():
     )
     assert m8 == pytest.approx(m1, abs=1e-12)
     np.testing.assert_allclose(i8, i1, atol=1e-12)
+
+
+def test_mesh_sharded_eval_keeps_tp_sharded_params(rng):
+    """Params coming straight from dp x tp training (fc6/fc7 sharded over
+    the model axis) must pass through Evaluator._ensure_params untouched
+    (no replication that would undo the TP layout) and evaluate correctly
+    on the same mesh."""
+    from em_adapt_tpu.config import DataConfig, EvalConfig
+    from em_adapt_tpu.data.pipeline import SyntheticVOC, batch_iterator
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(32, 32), fc6_channels=16),
+        estep=EStepConfig(num_iter=2),
+        optim=OptimConfig(accum_steps=1),
+        data=DataConfig(input_size=(32, 32)),
+        train=TrainConfig(batch_size=8),
+        eval=EvalConfig(batch_size=8, use_crf=False),
+        mesh=MeshConfig(axes=(("data", 4), ("space", 1), ("model", 2))),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=4)
+    state = trainer.init_state()
+    assert "model" in str(state.params["fc6"]["w"].sharding.spec)
+    ev = Evaluator(cfg, trainer.model, plan=trainer.plan)
+    ensured = ev._ensure_params(state.params)
+    assert ensured is state.params  # pass-through, not a replicated copy
+    ds = SyntheticVOC(n=8, num_classes=4, seed=3, category="val")
+    batches = batch_iterator(ds, cfg.data, batch_size=8, seed=0, epochs=1,
+                             train=False, drop_remainder=False,
+                             pad_remainder=True)
+    miou, _ = ev.evaluate_fixed(state.params, batches)
+    assert 0.0 <= miou <= 1.0

@@ -96,6 +96,30 @@ def test_quantized_model_composes_with_evaluator(fixture_model):
     assert iou.shape == (SMALL_CFG.num_classes,)
 
 
+def test_quantized_model_composes_with_mesh_sharded_evaluator(fixture_model):
+    """int8 qparams (freshly calibrated -> committed to the default
+    device) + Evaluator(plan=...): _ensure_params must replicate them
+    onto the mesh and the sharded eval must match unsharded exactly at
+    the same batch shape."""
+    import jax
+
+    from em_adapt_tpu.config import EvalConfig, ExperimentConfig, MeshConfig
+    from em_adapt_tpu.eval.predict import Evaluator
+    from em_adapt_tpu.parallel.mesh import make_mesh
+
+    params, x = fixture_model
+    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    cfg = ExperimentConfig(model=SMALL_CFG, eval=EvalConfig(batch_size=2))
+    plan = make_mesh(MeshConfig(axes=(("data", 8),)))
+    x8 = np.concatenate([np.asarray(x)] * 4)  # batch 8 over 8 shards
+    label = np.zeros(x8.shape[:3] + (1,), np.float32)
+    batch = [{"image": x8, "label": label}]
+    m1, i1 = Evaluator(cfg, qmodel).evaluate_fixed(qparams, batch)
+    m8, i8 = Evaluator(cfg, qmodel, plan=plan).evaluate_fixed(qparams, batch)
+    assert m8 == pytest.approx(m1, abs=1e-12)
+    np.testing.assert_allclose(i8, i1, atol=1e-12)
+
+
 def test_quantized_export_roundtrip(fixture_model):
     """An int8 StableHLO serving artifact: export_predict_fn over the
     quantized model serializes and reproduces the live quantized
