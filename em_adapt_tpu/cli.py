@@ -524,7 +524,11 @@ def cmd_predict(args) -> int:
     The prediction recipe is the reference's (bilinear logits upsample +
     channel argmax, reference network.py:39-41) with the dead predict stub
     (network.py:57-75) made real; masks use the VOC palette so they drop
-    into any VOC tooling.
+    into any VOC tooling. Inputs run through the network in chunks of
+    ``eval.batch_size`` (one dispatch per chunk, tail padded — a single
+    compile for the whole run) with host post-processing on a worker
+    pool, so predicting a directory rides the same batched serving path
+    PROFILE.md measures.
     """
     import dataclasses
 
@@ -579,16 +583,15 @@ def cmd_predict(args) -> int:
     palette = [c for rgb in VOC_PALETTE for c in rgb]
     palette += [224, 224, 192] * (256 - len(VOC_PALETTE))  # void-ish filler
 
-    for path in args.inputs:
-        raw = np.asarray(Image.open(path).convert("RGB"))
-        img, _ = preprocess_eval(raw, None, input_size=cfg.model.input_size)
-        lg = jax.device_get(logits_fn(params, jnp.asarray(img)[None])[0])
+    from concurrent.futures import ThreadPoolExecutor
+
+    from em_adapt_tpu.data.augment import resize_bilinear_np
+
+    def _post(lg, raw, path):
         # Upsample + softmax on the HOST (same rationale as
         # eval/predict.py::_post): device-side per-image dynamic shapes
         # cost a fresh compile per distinct input size plus ~3 relay
         # round trips of the full-resolution probability map.
-        from em_adapt_tpu.data.augment import resize_bilinear_np
-
         up = resize_bilinear_np(np.asarray(lg, np.float32), raw.shape[:2])
         if args.crf:
             from em_adapt_tpu.eval.crf import dense_crf
@@ -609,7 +612,47 @@ def cmd_predict(args) -> int:
             Image.fromarray(overlay).save(ov_path)
             msg += f" (+ {os.path.basename(ov_path)})"
         classes = [int(c) for c in np.unique(pred)]
-        print(f"{path} -> {msg}  classes={classes}")
+        return f"{path} -> {msg}  classes={classes}"
+
+    # One dispatch per CHUNK of images, not per image: the serial loop
+    # paid the per-dispatch floor (~30 ms on this rig's relay) per image,
+    # while the batched network amortizes it — the same batching that
+    # gives the PROFILE.md serving numbers. The chunk size is
+    # min(eval.batch_size, N) and the tail zero-pads up to it, so the
+    # whole run costs exactly ONE compile; per-image post-processing
+    # (host upsample + optional CRF + PNG encode) overlaps the next
+    # chunk's device work on a thread pool (the CRF's native lattice and
+    # PIL's encoder both release the GIL). Results print in input order.
+    bs = max(1, min(cfg.eval.batch_size, len(args.inputs)))
+    workers = max(1, cfg.eval.crf_workers if args.crf else 2)
+    if args.crf:
+        from em_adapt_tpu.eval.permutohedral import available
+
+        if not available():
+            # The bilateral-grid fallback allocates a ~250 MB dense grid
+            # per in-flight image (see eval/predict.py) — run it serial.
+            workers = 1
+    futures = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for start in range(0, len(args.inputs), bs):
+            chunk = args.inputs[start:start + bs]
+            raws = [np.asarray(Image.open(p).convert("RGB")) for p in chunk]
+            imgs = np.stack([
+                preprocess_eval(r, None, input_size=cfg.model.input_size)[0]
+                for r in raws
+            ])
+            if len(chunk) < bs:
+                imgs = np.concatenate([
+                    imgs,
+                    np.zeros((bs - len(chunk),) + imgs.shape[1:], imgs.dtype),
+                ])
+            lgs = jax.device_get(logits_fn(params, jnp.asarray(imgs)))
+            for lg, raw, path in zip(lgs, raws, chunk):
+                futures.append(pool.submit(_post, lg, raw, path))
+            while len(futures) > 4 * workers:
+                print(futures.pop(0).result())
+        for fut in futures:
+            print(fut.result())
     return 0
 
 

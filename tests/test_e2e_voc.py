@@ -224,6 +224,38 @@ def test_predict_cli_on_voc_images(voc_tree, tmp_path):
     assert mask.size == orig.size
 
 
+def test_predict_cli_batches_many_images(voc_tree, tmp_path, capsys):
+    """Multiple inputs ride the chunked dispatch path (eval.batch_size=2
+    over 3 images: one full chunk + a zero-padded tail chunk) and every
+    mask still lands at its own image's ORIGINAL resolution, reported in
+    input order."""
+    from em_adapt_tpu import cli
+
+    root, main = voc_tree
+    imgs = [
+        str(main / "JPEGImages" / f"2012_val{i:03d}.jpg") for i in range(3)
+    ]
+    out = tmp_path / "preds_batched"
+    rc = cli.main([
+        "predict", *imgs, "--out", str(out),
+        "--config",
+        "model.num_classes=21", "model.input_size=(33,33)",
+        "model.fc6_channels=8", "eval.batch_size=2",
+        f"checkpoint.save_dir={tmp_path / 'nock'}",
+    ])
+    assert rc == 0
+    from PIL import Image
+
+    for i in range(3):
+        mask = Image.open(out / f"2012_val{i:03d}.png")
+        assert mask.mode == "P"
+        assert mask.size == Image.open(imgs[i]).size
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if " -> " in ln
+    ]
+    assert [ln.split(" -> ")[0] for ln in lines] == imgs
+
+
 def test_train_cli_fold_preset_scales_batch_and_warns(tmp_path, capsys):
     """tpu-perf-fold on a multi-chip data mesh: the preset's GLOBAL
     batch_size auto-scales to 30 per data shard (unless the user
