@@ -228,6 +228,16 @@ class TrainConfig:
     #: seed; the dropout PATTERN differs between the two (training is
     #: stochastic either way — the reference never pinned it).
     rng_impl: str = "threefry"
+    #: Train the first N steps on the weak-tag multi-label CLASSIFICATION
+    #: loss (LSE-pooled logits vs image-level tags) instead of the EM
+    #: objective, then switch. 0 = off (reference parity: the reference
+    #: always warm-starts EM from a classification-pretrained init.npy,
+    #: so it never needs this). From RANDOM init the warmup synthesizes
+    #: that missing prior from the same weak tags — it breaks the
+    #: locked/stuck EM bistability (CONVERGENCE.json). Implemented as a
+    #: traced select on the step counter, so macro-fused windows cross
+    #: the boundary per-step exactly.
+    tag_warmup_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

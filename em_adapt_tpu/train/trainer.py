@@ -31,6 +31,39 @@ from em_adapt_tpu.train.optim import build_optimizer, lr_at
 from em_adapt_tpu.train.state import TrainState
 
 
+def tag_classification_loss(
+    logits: jax.Array, shrunk: jax.Array, num_classes: int
+) -> jax.Array:
+    """Weak-tag multi-label classification loss (the EM warmup objective).
+
+    LSE-pools the score map per class — ``logsumexp`` over positions minus
+    ``log(HW)``, a smooth max that interpolates toward the mean — and
+    scores the pooled logits against the image-level presence tags with
+    sigmoid BCE. Tags use the E-step's own presence rule (a class is
+    present iff it occurs in the mask and is ``< num_classes``; the 255
+    ignore value drops out — reference estep.py:35-44 via
+    ``ops/estep_oracle.derive_tags``).
+
+    Not a reference feature: the reference (and the paper,
+    arXiv:1502.02734) always starts EM from a CLASSIFICATION-pretrained
+    network (init.npy = ImageNet VGG-16), which is what makes its E-step
+    labels informative from step one. When training from random init that
+    prior is absent and EM may never break symmetry (the locked/stuck
+    bistability recorded in CONVERGENCE.json); this loss synthesizes the
+    same kind of prior from the SAME weak tags — multiple-instance
+    classification warmup — before the EM phase starts.
+    """
+    b, h, w, c = logits.shape
+    lab = shrunk.astype(jnp.int32)
+    # one_hot maps out-of-range (255 ignore) rows to all-zero -> dropped.
+    onehot = jax.nn.one_hot(lab, num_classes, dtype=logits.dtype)
+    tags = jnp.max(onehot.reshape(b, h * w, num_classes), axis=1)  # [B,C]
+    pooled = jax.nn.logsumexp(
+        logits.reshape(b, h * w, c), axis=1
+    ) - jnp.log(float(h * w))
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(pooled, tags))
+
+
 def loss_fn(
     params: dict,
     batch: dict,
@@ -38,6 +71,7 @@ def loss_fn(
     model,
     cfg: ExperimentConfig,
     plan: MeshPlan | None = None,
+    step: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     """Total loss = CE(logits, estep_labels) + wd * L2(weights).
 
@@ -50,6 +84,14 @@ def loss_fn(
     meshes (shard_map over the data axis). block1 only gets the mesh when
     the input is NOT spatially sharded (the kernel has no halo exchange);
     the E-step score map is tiny, so it always composes.
+
+    ``step``: the (traced) global step counter. When
+    ``cfg.train.tag_warmup_steps > 0`` and ``step`` is provided, steps
+    below the threshold train on ``tag_classification_loss`` instead of
+    the EM objective — a traced select, so macro-fused scan windows cross
+    the warmup->EM boundary with per-step exactness (no window splitting).
+    Both objectives share the single forward pass; the unselected branch
+    costs only the tiny pooled-BCE / E-step epilogue.
     """
     num_classes = cfg.model.num_classes
     drop_rng, order_rng = jax.random.split(rng)
@@ -102,6 +144,13 @@ def loss_fn(
             )
         )
 
+    if cfg.train.tag_warmup_steps > 0 and step is not None:
+        tag_ce = tag_classification_loss(logits, shrunk, num_classes)
+        # jnp.where (not lax.cond): grads flow through the selected branch
+        # only (the other is multiplied by a structural zero), and it stays
+        # batchable inside the macro lax.scan.
+        ce = jnp.where(step < cfg.train.tag_warmup_steps, tag_ce, ce)
+
     l2 = model.weight_l2(params)
     total = ce + cfg.optim.weight_decay * l2
     return total, {"loss": total, "loss_norm": ce, "loss_l2": l2}
@@ -114,7 +163,9 @@ def _step_fn(model, cfg: ExperimentConfig, tx: optax.GradientTransformation,
     def step(state: TrainState, batch: dict):
         rng, new_rng = jax.random.split(jax.random.fold_in(state.rng, state.step))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg, plan)
+        (_, metrics), grads = grad_fn(
+            state.params, batch, rng, model, cfg, plan, state.step
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

@@ -451,6 +451,97 @@ def test_macro_step_matches_single_stepping(rng):
     )
 
 
+def test_tag_warmup_selects_classification_loss(rng):
+    """tag_warmup_steps trains steps < N on the weak-tag classification
+    loss: loss_norm equals the hand-computed LSE-pooled sigmoid BCE vs
+    the image-level tags (255 ignore dropped), and from step N on the EM
+    objective is back bit-exactly (same value as a warmup-off config)."""
+    from em_adapt_tpu.ops.resize import resize_nearest_tf
+
+    cfg = tiny_cfg(
+        train=TrainConfig(batch_size=8, epochs=2, seed=0, tag_warmup_steps=3)
+    )
+    cfg_off = tiny_cfg()
+    model = DeepLabLargeFOV(cfg.model)
+    params = model.init(jax.random.key(0))
+    batch = jax.tree.map(jnp.asarray, tiny_batch(np.random.default_rng(0)))
+    key = jax.random.key(1)
+
+    total_w, metrics_w = loss_fn(
+        params, batch, key, model, cfg, step=jnp.asarray(0)
+    )
+    # Reproduce the logits with loss_fn's own rng split, then the tag BCE
+    # by hand in numpy.
+    drop_rng, _ = jax.random.split(key)
+    logits = model.apply(params, batch["image"], train=True, rng=drop_rng)
+    shrunk = resize_nearest_tf(batch["label"], logits.shape[1:3])[..., 0]
+    lab = np.asarray(shrunk).astype(np.int64)
+    b, h, w, c = logits.shape
+    tags = np.zeros((b, c), np.float32)
+    for i in range(b):
+        present = np.unique(lab[i])
+        tags[i, present[present < c]] = 1.0
+    pooled = np.asarray(
+        jax.nn.logsumexp(logits.reshape(b, h * w, c), axis=1)
+    ) - np.log(float(h * w))
+    hand_bce = np.mean(np.logaddexp(0.0, pooled) - tags * pooled)
+    np.testing.assert_allclose(
+        float(metrics_w["loss_norm"]), hand_bce, rtol=1e-5
+    )
+    l2 = float(model.weight_l2(params))
+    np.testing.assert_allclose(
+        float(total_w), hand_bce + cfg.optim.weight_decay * l2, rtol=1e-5
+    )
+
+    # past the threshold the EM objective is selected, matching warmup-off
+    total_e, _ = loss_fn(params, batch, key, model, cfg, step=jnp.asarray(3))
+    total_off, _ = loss_fn(
+        params, batch, key, model, cfg_off, step=jnp.asarray(3)
+    )
+    assert float(total_e) == float(total_off)
+    assert not np.isclose(float(total_w), float(total_e))
+
+
+def test_tag_warmup_boundary_inside_macro_window(rng):
+    """The warmup->EM switch is a traced select on state.step, so ONE
+    macro window straddling the boundary (steps 0-1 warmup, 2-3 EM with
+    tag_warmup_steps=2, K=4) must follow the same trajectory as single
+    stepping — no window splitting needed."""
+    cfg_single = tiny_cfg(
+        train=TrainConfig(batch_size=8, epochs=2, seed=0,
+                          tag_warmup_steps=2, donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+    )
+    cfg_macro = tiny_cfg(
+        train=TrainConfig(batch_size=8, epochs=2, seed=0,
+                          tag_warmup_steps=2, macro_steps=4,
+                          donate_state=False),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+    )
+    tr_s = Trainer(cfg_single, steps_per_epoch=4)
+    tr_m = Trainer(cfg_macro, steps_per_epoch=4)
+    state0 = tr_s.init_state()
+    batches = [
+        jax.tree.map(jnp.asarray, tiny_batch(np.random.default_rng(i)))
+        for i in range(4)
+    ]
+    sharded = [tr_s.plan.shard_batch(b) for b in batches]
+
+    s_single = state0
+    for b in sharded:
+        s_single, _ = tr_s.train_step(s_single, b)
+
+    s_macro, _ = tr_m.macro_step(state0, tuple(sharded))
+    assert int(jax.device_get(s_macro.step)) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-8
+        ),
+        s_single.params,
+        s_macro.params,
+    )
+
+
 def test_fit_with_macro_steps(rng, tmp_path):
     cfg = tiny_cfg(
         checkpoint=ExperimentConfig().checkpoint.__class__(

@@ -122,7 +122,7 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                   dropout_keep_prob: float = 0.5, random_scale: bool = False,
                   refine_steps: int = 500, estep_method: str = "adaptive",
                   fixed_bg_bias: float = 3.0, fixed_fg_bias: float = 5.0,
-                  log=print) -> dict:
+                  tag_warmup: int = 0, log=print) -> dict:
     """The weak-tags-only EM arm — a TWO-PHASE protocol.
 
     Round-2/3 diagnosis chain (VERDICT weakness #2):
@@ -184,7 +184,8 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
         train=TrainConfig(batch_size=8, epochs=10 ** 6, seed=seed,
                           log_every_steps=10 ** 6,
                           eval_every_steps=steps // 20,
-                          calibrate_estep=False),
+                          calibrate_estep=False,
+                          tag_warmup_steps=tag_warmup),
         checkpoint=CheckpointConfig(save_dir=tempfile.mkdtemp(
                                         prefix="em_rehearsal_"),
                                     save_every_steps=10 ** 9,
@@ -311,6 +312,7 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
         "random_scale": random_scale,
         "refine_steps": refine_steps,
         "refine_lr": 1e-4,
+        "tag_warmup_steps": tag_warmup,
         "all_background_baseline_miou": 0.19,
         "init_miou": curve[0][1],
         "miou_curve": curve,
@@ -380,6 +382,13 @@ def main(argv=None) -> int:
     ap.add_argument("--refine-steps", type=int, default=500,
                     help="phase-2 warm-start fine-tune steps at 1e-4 "
                          "from phase 1's best checkpoint (0 = off)")
+    ap.add_argument("--tag-warmup", type=int, default=0,
+                    help="train the first N steps on the weak-tag "
+                         "classification loss (TrainConfig."
+                         "tag_warmup_steps) before EM — synthesizes the "
+                         "classification-pretrained prior the paper "
+                         "assumes, from the same weak tags (weak mode "
+                         "only)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     import jax
@@ -393,6 +402,7 @@ def main(argv=None) -> int:
                           dropout_keep_prob=args.dropout,
                           random_scale=args.random_scale,
                           refine_steps=args.refine_steps,
+                          tag_warmup=args.tag_warmup,
                           log=lambda m, s=s: print(f"[seed {s}] {m}", flush=True))
             for s in seeds
         ])
