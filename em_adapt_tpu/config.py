@@ -238,6 +238,14 @@ class TrainConfig:
     #: traced select on the step counter, so macro-fused windows cross
     #: the boundary per-step exactly.
     tag_warmup_steps: int = 0
+    #: Label smoothing for the warmup tag BCE. Hard 0/1 targets have NO
+    #: finite minimizer (BCE falls forever as the pooled logits run to
+    #: ±inf), so the unanchored warmup race can diverge — a 129² he-init
+    #: probe NaN'd mid-warmup on one seed. Smoothed targets [eps, 1-eps]
+    #: pin the optimum at pooled logit = ±logit(1-eps) (~±2.9 at 0.05),
+    #: keeping gradients alive for the whole window and the weights
+    #: bounded. Only read when tag_warmup_steps > 0.
+    tag_warmup_smoothing: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)

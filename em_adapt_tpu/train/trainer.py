@@ -32,7 +32,10 @@ from em_adapt_tpu.train.state import TrainState
 
 
 def tag_classification_loss(
-    logits: jax.Array, shrunk: jax.Array, num_classes: int
+    logits: jax.Array,
+    shrunk: jax.Array,
+    num_classes: int,
+    smoothing: float = 0.05,
 ) -> jax.Array:
     """Weak-tag multi-label classification loss (the EM warmup objective).
 
@@ -52,12 +55,20 @@ def tag_classification_loss(
     bistability recorded in CONVERGENCE.json); this loss synthesizes the
     same kind of prior from the SAME weak tags — multiple-instance
     classification warmup — before the EM phase starts.
+
+    ``smoothing``: hard 0/1 targets give this BCE no finite minimizer —
+    the loss keeps falling as the pooled logits run to ±inf, and the
+    unanchored race can diverge (a he-init 129² probe NaN'd mid-warmup
+    on one seed). Smoothing the targets to [eps, 1-eps] pins the optimum
+    at pooled logit = ±logit(1-eps) (~±2.9 at the default 0.05), which
+    bounds the weights and keeps gradients alive through the window.
     """
     b, h, w, c = logits.shape
     lab = shrunk.astype(jnp.int32)
     # one_hot maps out-of-range (255 ignore) rows to all-zero -> dropped.
     onehot = jax.nn.one_hot(lab, num_classes, dtype=logits.dtype)
     tags = jnp.max(onehot.reshape(b, h * w, num_classes), axis=1)  # [B,C]
+    tags = tags * (1.0 - 2.0 * smoothing) + smoothing
     pooled = jax.nn.logsumexp(
         logits.reshape(b, h * w, c), axis=1
     ) - jnp.log(float(h * w))
@@ -145,7 +156,9 @@ def loss_fn(
         )
 
     if cfg.train.tag_warmup_steps > 0 and step is not None:
-        tag_ce = tag_classification_loss(logits, shrunk, num_classes)
+        tag_ce = tag_classification_loss(
+            logits, shrunk, num_classes, cfg.train.tag_warmup_smoothing
+        )
         # jnp.where (not lax.cond): grads flow through the selected branch
         # only (the other is multiplied by a structural zero), and it stays
         # batchable inside the macro lax.scan.

@@ -454,8 +454,9 @@ def test_macro_step_matches_single_stepping(rng):
 def test_tag_warmup_selects_classification_loss(rng):
     """tag_warmup_steps trains steps < N on the weak-tag classification
     loss: loss_norm equals the hand-computed LSE-pooled sigmoid BCE vs
-    the image-level tags (255 ignore dropped), and from step N on the EM
-    objective is back bit-exactly (same value as a warmup-off config)."""
+    the label-smoothed image-level tags (255 ignore dropped), and from
+    step N on the EM objective is back bit-exactly (same value as a
+    warmup-off config)."""
     from em_adapt_tpu.ops.resize import resize_nearest_tf
 
     cfg = tiny_cfg(
@@ -481,6 +482,8 @@ def test_tag_warmup_selects_classification_loss(rng):
     for i in range(b):
         present = np.unique(lab[i])
         tags[i, present[present < c]] = 1.0
+    eps = cfg.train.tag_warmup_smoothing
+    tags = tags * (1.0 - 2.0 * eps) + eps
     pooled = np.asarray(
         jax.nn.logsumexp(logits.reshape(b, h * w, c), axis=1)
     ) - np.log(float(h * w))
@@ -500,6 +503,29 @@ def test_tag_warmup_selects_classification_loss(rng):
     )
     assert float(total_e) == float(total_off)
     assert not np.isclose(float(total_w), float(total_e))
+
+
+def test_tag_warmup_smoothing_bounds_the_objective():
+    """Label smoothing gives the warmup BCE a finite minimizer: with hard
+    targets the loss keeps falling as logits grow (the divergence that
+    NaN'd a he-init probe mid-warmup), with smoothed targets the loss
+    turns back up past pooled logit = logit(1-eps) — growing logits are
+    PENALIZED, so the warmup race has a finite attractor."""
+    from em_adapt_tpu.train.trainer import tag_classification_loss
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 3, size=(2, 4, 4)).astype(np.int32))
+    scales = [1.0, 10.0, 100.0]
+    hard = [float(tag_classification_loss(base * s, lab, 3, 0.0))
+            for s in scales]
+    smooth = [float(tag_classification_loss(base * s, lab, 3, 0.05))
+              for s in scales]
+    assert hard[2] < hard[1] < hard[0]          # runs away forever
+    assert smooth[2] > smooth[1]                # turned back up: bounded
+    # at eps=0.05 the optimum is |pooled| = logit(0.95) ~ 2.94; a logit
+    # blowup to scale 100 costs ~ eps * |pooled| per present class
+    assert smooth[2] > smooth[0]
 
 
 def test_tag_warmup_boundary_inside_macro_window(rng):
