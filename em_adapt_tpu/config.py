@@ -233,8 +233,9 @@ class TrainConfig:
     #: objective, then switch. 0 = off (reference parity: the reference
     #: always warm-starts EM from a classification-pretrained init.npy,
     #: so it never needs this). From RANDOM init the warmup synthesizes
-    #: that missing prior from the same weak tags — it breaks the
-    #: locked/stuck EM bistability (CONVERGENCE.json). Implemented as a
+    #: that missing prior from the same weak tags — EM's label-locking
+    #: step is heavy-tailed from random init (~250..4000 steps,
+    #: CONVERGENCE_LATE_LOCK.json). Implemented as a
     #: traced select on the step counter, so macro-fused windows cross
     #: the boundary per-step exactly.
     tag_warmup_steps: int = 0

@@ -51,10 +51,10 @@ def tag_classification_loss(
     arXiv:1502.02734) always starts EM from a CLASSIFICATION-pretrained
     network (init.npy = ImageNet VGG-16), which is what makes its E-step
     labels informative from step one. When training from random init that
-    prior is absent and EM may never break symmetry (the locked/stuck
-    bistability recorded in CONVERGENCE.json); this loss synthesizes the
-    same kind of prior from the SAME weak tags — multiple-instance
-    classification warmup — before the EM phase starts.
+    prior is absent and EM's symmetry-breaking step is heavy-tailed —
+    ~250..4000 steps across seeds (CONVERGENCE_LATE_LOCK.json); this
+    loss synthesizes the same kind of prior from the SAME weak tags —
+    multiple-instance classification warmup — before the EM phase starts.
 
     ``smoothing``: hard 0/1 targets give this BCE no finite minimizer —
     the loss keeps falling as the pooled logits run to ±inf, and the

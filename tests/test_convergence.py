@@ -34,11 +34,13 @@ def test_committed_rehearsal_artifact_passes():
     assert r["peak_mean_fg_iou"] >= 0.15
     assert r["final_miou"] >= 0.24
     assert r["final_miou"] > r["init_miou"]
-    # best-of-N protocol (EM from random init is bistable — the init
-    # lottery and ulp-level numeric perturbations bifurcate the abrupt
-    # label-locking; the reference's production workflow always
-    # warm-starts from ImageNet features): every seed is recorded and a
-    # MAJORITY of trajectories must lock onto the foreground colors.
+    # best-of-N protocol (EM from random init locks at a HEAVY-TAILED
+    # step — the init lottery and ulp-level numeric perturbations move
+    # the abrupt label-locking anywhere in ~250..4000 steps, see
+    # CONVERGENCE_LATE_LOCK.json; the reference's production workflow
+    # always warm-starts from ImageNet features, which locks
+    # immediately): every seed is recorded and a MAJORITY of
+    # trajectories must lock onto the foreground colors in-window.
     assert len(r["seeds"]) >= 5
     locked = [s for s in r["seeds"] if s["peak_miou"] >= 0.23]
     assert 2 * len(locked) > len(r["seeds"])

@@ -18,14 +18,17 @@ Calibration notes (probed on TPU v5e, 2026-08-16/17):
 * DROPOUT keep 0.5 (the reference's own training setting) is the
   decisive regularizer: without it peaks stall ~0.24; with it locked
   trajectories reach ~0.27+ with all foreground colors learned.
-* EM from RANDOM init is BISTABLE: the init lottery plus ulp-level
-  numeric perturbations (conv reduction order, xla-vs-pallas block1)
-  bifurcate the abrupt early label-locking — a minority of seeds
-  collapse to the ~0.19 all-background fixed point and stay there (the
+* EM from RANDOM init has a HEAVY-TAILED lock time, not a locked/stuck
+  bifurcation: the init lottery plus ulp-level numeric perturbations
+  (conv reduction order, xla-vs-pallas block1) move the abrupt
+  label-locking step anywhere from ~250 to ~4000 — seeds that look
+  collapsed at the ~0.19 all-background fixed point in a 2500-step
+  window DO lock given 5000 (CONVERGENCE_LATE_LOCK.json: the two
+  "stuck" seeds of CONVERGENCE.json peak 0.25@4000 / 0.24@3750). The
   paper's workflow always warm-starts from ImageNet features, never
-  random init; its strong results rely on those features). The artifact
+  random init, which is what makes its locking immediate. The artifact
   is therefore best-of-N seeds with every per-seed summary recorded and
-  a majority-must-lock contract. A strong-subset comparison was also
+  a majority-must-lock-in-window contract. A strong-subset comparison was also
   probed: direct supervision on the strong subset dominates EM from
   random init, consistent with EM-Adapt being far below full supervision
   on VOC as well (38% vs ~62%).
@@ -129,8 +132,9 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
     * Post-peak DECLINE under constant 1e-3 LR: a fixed staged drop
       (reference deeplab.py:245-262 drops 10x at 25% of the run) freezes
       the decline but mistimes the oscillating peak — EM label-locking
-      from RANDOM init is abrupt and its step varies per trajectory
-      (probed round 3: locking at step 250..1625 across seeds).
+      from RANDOM init is abrupt and its step is heavy-tailed per
+      trajectory (probed round 3: step 250..4000 across seeds,
+      CONVERGENCE_LATE_LOCK.json).
     * DROPOUT (reference trains fc6/fc7 at keep 0.5, reference
       deeplab.py:102-104 + 266; round-2 rehearsal ran keep 1.0) is the decisive
       regularizer: with it, seed-0 peak fg IoU went 0.178 -> 0.277 with
@@ -290,12 +294,13 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
 
     fg_iou = [float(v) for v in final_iou[1:]]
     peak_fg = [float(v) for v in peak_iou[1:]]
-    # EM from random init is BISTABLE on this task: ulp-level gradient
-    # perturbations (e.g. conv reduction order, xla-vs-pallas block1)
-    # bifurcate the early label-locking into trajectories whose peaks
-    # span ~0.24-0.29 (probed round 3, same seed, 4 numeric variants).
-    # Single-trajectory thresholds are therefore run with several seeds
-    # by main(); this function reports one trajectory honestly.
+    # EM from random init locks at a HEAVY-TAILED step on this task:
+    # ulp-level gradient perturbations (e.g. conv reduction order,
+    # xla-vs-pallas block1) move the locking step across ~250..4000 and
+    # the in-window peaks span ~0.19-0.29 (probed round 3; late-lockers
+    # in CONVERGENCE_LATE_LOCK.json). Single-trajectory thresholds are
+    # therefore run with several seeds by main(); this function reports
+    # one trajectory honestly.
     result = {
         "task": "LearnableSyntheticVOC weak-tags-only EM",
         "input_size": size,
@@ -332,7 +337,7 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
 
 
 def _aggregate(runs: list[dict]) -> dict:
-    """Best-of-N-seeds artifact (see the bistability note above): the
+    """Best-of-N-seeds artifact (see the heavy-tail note above): the
     best trajectory carries the headline fields, every per-seed summary
     is recorded, and the contract requires BOTH a strong best peak and
     every seed clearing the all-background fixed point."""
@@ -366,8 +371,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seeds", type=int, default=5,
                     help="weak/ablation: number of seeds (EM from random "
-                         "init is bistable — see run_rehearsal; the "
-                         "artifact is best-of-N with every seed recorded)")
+                         "init locks at a heavy-tailed step — see "
+                         "run_rehearsal; the artifact is best-of-N with "
+                         "every seed recorded)")
     ap.add_argument("--lr-drop-epoch", type=int, default=None,
                     help="fixed staged LR drop in phase 1 (diagnosis "
                          "arm; the production protocol refines from the "
@@ -411,8 +417,10 @@ def main(argv=None) -> int:
         # margin it cannot brush against, with real color-locked
         # foreground classes and a final that holds after the refine
         # phase — and a MAJORITY of random-init trajectories must lock
-        # (EM from random init is bistable; the reference's production
-        # workflow always warm-starts from ImageNet features).
+        # IN-WINDOW (lock time from random init is heavy-tailed, up to
+        # ~4000 steps — CONVERGENCE_LATE_LOCK.json; the reference's
+        # production workflow always warm-starts from ImageNet features,
+        # which locks immediately).
         locked = [r for r in result["seeds"] if r["peak_miou"] >= 0.23]
         result["pass"] = bool(
             result["peak_miou"] >= 0.26
