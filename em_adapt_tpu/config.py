@@ -247,6 +247,13 @@ class TrainConfig:
     #: keeping gradients alive for the whole window and the weights
     #: bounded. Only read when tag_warmup_steps > 0.
     tag_warmup_smoothing: float = 0.05
+    #: LSE pooling sharpness r (Pinheiro & Collobert, arXiv:1411.6228):
+    #: pooled = (1/r)(logsumexp(r·x) − log HW), mean at r→0, max at r→∞.
+    #: At r=1 a spatially CONSTANT map satisfies the tag objective, so
+    #: the warmup teaches no spatial discrimination and EM stays at the
+    #: all-background fixed point (probed); sharper pooling makes PEAKED
+    #: maps the cheap solution. Only read when tag_warmup_steps > 0.
+    tag_warmup_pool_r: float = 4.0
 
 
 @dataclasses.dataclass(frozen=True)

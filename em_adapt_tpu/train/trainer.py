@@ -36,16 +36,26 @@ def tag_classification_loss(
     shrunk: jax.Array,
     num_classes: int,
     smoothing: float = 0.05,
+    pool_r: float = 1.0,
 ) -> jax.Array:
     """Weak-tag multi-label classification loss (the EM warmup objective).
 
-    LSE-pools the score map per class — ``logsumexp`` over positions minus
-    ``log(HW)``, a smooth max that interpolates toward the mean — and
-    scores the pooled logits against the image-level presence tags with
-    sigmoid BCE. Tags use the E-step's own presence rule (a class is
-    present iff it occurs in the mask and is ``< num_classes``; the 255
-    ignore value drops out — reference estep.py:35-44 via
-    ``ops/estep_oracle.derive_tags``).
+    LSE-pools the score map per class — ``(1/r)·(logsumexp(r·x) −
+    log(HW))`` over positions, the scaled smooth max of Pinheiro &
+    Collobert (arXiv:1411.6228 §3.1) — and scores the pooled logits
+    against the image-level presence tags with sigmoid BCE. Tags use the
+    E-step's own presence rule (a class is present iff it occurs in the
+    mask and is ``< num_classes``; the 255 ignore value drops out —
+    reference estep.py:35-44 via ``ops/estep_oracle.derive_tags``).
+
+    ``pool_r`` sets where the pool sits between mean (r→0) and max
+    (r→∞). This decides what the warmup TEACHES: at r=1 a spatially
+    CONSTANT score map satisfies the tag objective exactly, so the
+    warmup converges to maps with no spatial discrimination and EM has
+    nothing to lock onto (probed: mIoU pinned at the all-background
+    value for the whole post-warmup window). Sharper pooling routes the
+    gradient to the highest-scoring positions only, so PEAKED maps are
+    the cheap solution — the spatially-discriminative prior EM needs.
 
     Not a reference feature: the reference (and the paper,
     arXiv:1502.02734) always starts EM from a CLASSIFICATION-pretrained
@@ -69,9 +79,10 @@ def tag_classification_loss(
     onehot = jax.nn.one_hot(lab, num_classes, dtype=logits.dtype)
     tags = jnp.max(onehot.reshape(b, h * w, num_classes), axis=1)  # [B,C]
     tags = tags * (1.0 - 2.0 * smoothing) + smoothing
-    pooled = jax.nn.logsumexp(
-        logits.reshape(b, h * w, c), axis=1
-    ) - jnp.log(float(h * w))
+    pooled = (
+        jax.nn.logsumexp(pool_r * logits.reshape(b, h * w, c), axis=1)
+        - jnp.log(float(h * w))
+    ) / pool_r
     return jnp.mean(optax.sigmoid_binary_cross_entropy(pooled, tags))
 
 
@@ -157,7 +168,8 @@ def loss_fn(
 
     if cfg.train.tag_warmup_steps > 0 and step is not None:
         tag_ce = tag_classification_loss(
-            logits, shrunk, num_classes, cfg.train.tag_warmup_smoothing
+            logits, shrunk, num_classes,
+            cfg.train.tag_warmup_smoothing, cfg.train.tag_warmup_pool_r,
         )
         # jnp.where (not lax.cond): grads flow through the selected branch
         # only (the other is multiplied by a structural zero), and it stays

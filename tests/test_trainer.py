@@ -484,9 +484,11 @@ def test_tag_warmup_selects_classification_loss(rng):
         tags[i, present[present < c]] = 1.0
     eps = cfg.train.tag_warmup_smoothing
     tags = tags * (1.0 - 2.0 * eps) + eps
-    pooled = np.asarray(
-        jax.nn.logsumexp(logits.reshape(b, h * w, c), axis=1)
-    ) - np.log(float(h * w))
+    r = cfg.train.tag_warmup_pool_r
+    pooled = (
+        np.asarray(jax.nn.logsumexp(r * logits.reshape(b, h * w, c), axis=1))
+        - np.log(float(h * w))
+    ) / r
     hand_bce = np.mean(np.logaddexp(0.0, pooled) - tags * pooled)
     np.testing.assert_allclose(
         float(metrics_w["loss_norm"]), hand_bce, rtol=1e-5
@@ -526,6 +528,36 @@ def test_tag_warmup_smoothing_bounds_the_objective():
     # at eps=0.05 the optimum is |pooled| = logit(0.95) ~ 2.94; a logit
     # blowup to scale 100 costs ~ eps * |pooled| per present class
     assert smooth[2] > smooth[0]
+
+
+def test_tag_warmup_pool_r_rejects_constant_maps():
+    """The pooling-sharpness property the warmup relies on: a spatially
+    CONSTANT map pools to its value for every r (so at r=1 the mean-like
+    pool is satisfied by constant maps — no spatial discrimination),
+    while for a PEAKED map the pool approaches the peak as r grows — so
+    under sharp pooling a present-class target is reachable by a peak
+    alone, the spatially-discriminative solution."""
+    from em_adapt_tpu.train.trainer import tag_classification_loss
+
+    h = w = 8
+    lab = jnp.zeros((1, h, w), jnp.int32)  # class 0 present, class 1 absent
+    const = jnp.full((1, h, w, 2), jnp.asarray([3.0, -3.0]))
+    peak = jnp.full((1, h, w, 2), -3.0)
+    # one class-0 peak at the smoothed-BCE optimum height (~logit(0.95));
+    # taller peaks are penalized by the smoothing, by design
+    peak = peak.at[0, 4, 4, 0].set(3.0)
+
+    # constant maps: pooled == value, loss identical at every sharpness
+    l_const = [float(tag_classification_loss(const, lab, 2, 0.05, r))
+               for r in (1.0, 4.0, 16.0)]
+    np.testing.assert_allclose(l_const, l_const[0], rtol=1e-5)
+
+    # peaked map: mean-like pooling washes the peak out (high BCE);
+    # sharp pooling sees it (loss approaches the constant-map optimum)
+    l_peak_1 = float(tag_classification_loss(peak, lab, 2, 0.05, 1.0))
+    l_peak_16 = float(tag_classification_loss(peak, lab, 2, 0.05, 16.0))
+    assert l_peak_16 < l_peak_1
+    assert l_peak_16 < l_const[0] + 0.5
 
 
 def test_tag_warmup_boundary_inside_macro_window(rng):

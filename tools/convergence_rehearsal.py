@@ -125,7 +125,8 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                   dropout_keep_prob: float = 0.5, random_scale: bool = False,
                   refine_steps: int = 500, estep_method: str = "adaptive",
                   fixed_bg_bias: float = 3.0, fixed_fg_bias: float = 5.0,
-                  tag_warmup: int = 0, log=print) -> dict:
+                  tag_warmup: int = 0, tag_warmup_pool_r: float = 4.0,
+                  tag_warmup_lr: float | None = None, log=print) -> dict:
     """The weak-tags-only EM arm — a TWO-PHASE protocol.
 
     Round-2/3 diagnosis chain (VERDICT weakness #2):
@@ -169,9 +170,21 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
     from em_adapt_tpu.train import Trainer
 
     steps_per_epoch = 64
+    base_lr = 1e-3
     schedule = ()
     if lr_drop_epoch is not None:
         schedule = ((lr_drop_epoch, 1e-4),)
+    if tag_warmup and tag_warmup_lr is not None:
+        # Warmup at a LOWER LR via the production staged schedule (no new
+        # trainer machinery): the tag BCE pushes a cold he-init VGG hard
+        # from step 0 — at the EM phase's 1e-3 with momentum the
+        # concentrated sharp-pool gradients can diverge (an r=4 probe
+        # NaN'd mid-warmup). Align the warmup window to epoch granularity
+        # so the LR raise lands exactly at the objective switch.
+        warm_epochs = max(1, round(tag_warmup / steps_per_epoch))
+        tag_warmup = warm_epochs * steps_per_epoch
+        base_lr = tag_warmup_lr
+        schedule = ((warm_epochs, 1e-3),) + schedule
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=4, input_size=(size, size),
                           fc6_channels=64,
@@ -182,14 +195,16 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                           suppress_others=suppress_others,
                           fixed_bg_bias=fixed_bg_bias,
                           fixed_fg_bias=fixed_fg_bias),
-        optim=OptimConfig(base_lr=1e-3, accum_steps=1, lr_schedule=schedule),
+        optim=OptimConfig(base_lr=base_lr, accum_steps=1,
+                          lr_schedule=schedule),
         data=DataConfig(input_size=(size, size), num_workers=2,
                         random_scale=random_scale),
         train=TrainConfig(batch_size=8, epochs=10 ** 6, seed=seed,
                           log_every_steps=10 ** 6,
                           eval_every_steps=steps // 20,
                           calibrate_estep=False,
-                          tag_warmup_steps=tag_warmup),
+                          tag_warmup_steps=tag_warmup,
+                          tag_warmup_pool_r=tag_warmup_pool_r),
         checkpoint=CheckpointConfig(save_dir=tempfile.mkdtemp(
                                         prefix="em_rehearsal_"),
                                     save_every_steps=10 ** 9,
@@ -318,6 +333,8 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
         "refine_steps": refine_steps,
         "refine_lr": 1e-4,
         "tag_warmup_steps": tag_warmup,
+        "tag_warmup_pool_r": tag_warmup_pool_r if tag_warmup else None,
+        "tag_warmup_lr": tag_warmup_lr if tag_warmup else None,
         "all_background_baseline_miou": 0.19,
         "init_miou": curve[0][1],
         "miou_curve": curve,
@@ -395,6 +412,16 @@ def main(argv=None) -> int:
                          "classification-pretrained prior the paper "
                          "assumes, from the same weak tags (weak mode "
                          "only)")
+    ap.add_argument("--tag-warmup-pool-r", type=float, default=4.0,
+                    help="LSE pooling sharpness for the warmup loss "
+                         "(mean at r->0, max at r->inf; r=1 is satisfied "
+                         "by spatially constant maps — see "
+                         "TrainConfig.tag_warmup_pool_r)")
+    ap.add_argument("--tag-warmup-lr", type=float, default=None,
+                    help="run the warmup window at this LOWER lr and "
+                         "raise to 1e-3 at the objective switch (via the "
+                         "production staged schedule; the window is "
+                         "aligned to epoch granularity)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     import jax
@@ -409,6 +436,8 @@ def main(argv=None) -> int:
                           random_scale=args.random_scale,
                           refine_steps=args.refine_steps,
                           tag_warmup=args.tag_warmup,
+                          tag_warmup_pool_r=args.tag_warmup_pool_r,
+                          tag_warmup_lr=args.tag_warmup_lr,
                           log=lambda m, s=s: print(f"[seed {s}] {m}", flush=True))
             for s in seeds
         ])
