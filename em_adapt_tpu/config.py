@@ -237,7 +237,10 @@ class TrainConfig:
     #: step is heavy-tailed from random init (~250..4000 steps,
     #: CONVERGENCE_LATE_LOCK.json). Implemented as a
     #: traced select on the step counter, so macro-fused windows cross
-    #: the boundary per-step exactly.
+    #: the boundary per-step exactly. Probed on the synthetic rehearsal
+    #: (CONVERGENCE_WARMUP_PROBE.json): there it does NOT beat plain EM
+    #: from he-init — warm up at a reduced LR (staged schedule) and
+    #: treat it as an opt-in for real-data from-scratch runs.
     tag_warmup_steps: int = 0
     #: Label smoothing for the warmup tag BCE. Hard 0/1 targets have NO
     #: finite minimizer (BCE falls forever as the pooled logits run to

@@ -32,6 +32,15 @@ Calibration notes (probed on TPU v5e, 2026-08-16/17):
   probed: direct supervision on the strong subset dominates EM from
   random init, consistent with EM-Adapt being far below full supervision
   on VOC as well (38% vs ~62%).
+* The weak-tag classification WARMUP (--tag-warmup; TrainConfig.
+  tag_warmup_steps) does NOT help on this task — probed across three
+  arms (CONVERGENCE_WARMUP_PROBE.json): mean-like LSE pooling (r=1) is
+  satisfied by spatially constant maps, so post-warmup EM stays at the
+  all-background fixed point; sharp pooling (r=4) at the EM LR diverges
+  on a cold he-init VGG; r=4 at a 1e-4 warmup LR is stable but strictly
+  worse than no warmup (best peak 0.2828 vs 0.3202). The committed
+  artifact protocol therefore runs tag_warmup_steps=0; the flag remains
+  for real-data from-scratch runs.
 
 Runs on TPU in ~6-8 minutes per seed (two phases; see run_rehearsal);
 CPU would take hours (this host has 1 core), so the committed
