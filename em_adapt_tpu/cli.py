@@ -212,6 +212,23 @@ def _parse_warm_start(spec: str) -> tuple[str, int | None]:
     return spec, None
 
 
+def _load_inference_params(trainer, cfg, verb: str):
+    """Shared eval/predict/export restore: params-only via the
+    warm_start machinery — inference does not need optimizer slots, so a
+    checkpoint written under a DIFFERENT optimizer config (e.g. a
+    rehearsal run with accum_steps=1) loads fine where the full-state
+    template restore would fail on the opt_state tree mismatch. Returns
+    the state (fresh init when no checkpoint exists)."""
+    state = trainer.init_state()
+    latest = trainer.checkpointer.latest_step("norm")
+    if latest is not None:
+        state = trainer.warm_start(state, cfg.checkpoint.save_dir)
+        print(f"{verb} checkpoint step {latest}")
+    else:
+        print(f"warning: no checkpoint found; {verb} fresh init")
+    return state
+
+
 def cmd_train(args) -> int:
     import jax
 
@@ -306,19 +323,36 @@ def cmd_train(args) -> int:
         state = trainer.warm_start(
             state, wdir, tag=args.warm_start_tag, step=wstep
         )
-        print(f"warm start: params from {wdir} "
-              f"(tag={args.warm_start_tag}, step={wstep if wstep is not None else 'latest'}); "
-              f"optimizer/step/LR fresh")
+        if is_main:
+            print(f"warm start: params from {wdir} "
+                  f"(tag={args.warm_start_tag}, step={wstep if wstep is not None else 'latest'}); "
+                  f"optimizer/step/LR fresh")
     if args.resume:
         latest = trainer.checkpointer.latest_step("norm")
+        if jax.process_count() > 1:
+            # The resume DECISION gates a collective orbax restore, so it
+            # must be process-uniform even when save_dir is a per-host
+            # filesystem where only process 0 has the checkpoints (the
+            # same discipline as the best-metric sidecar broadcast,
+            # trainer._load_best_metric): adopt process 0's view.
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            latest = int(multihost_utils.broadcast_one_to_all(
+                np.int64(-1 if latest is None else latest)))
+            latest = None if latest < 0 else latest
         if latest is None:
-            print("--resume: no checkpoint found, starting fresh")
+            if is_main:
+                print("--resume: no checkpoint found, starting fresh")
         else:
             # restore_state materializes straight onto the mesh with the
             # trainer's shardings (TP leaves come back model-sharded, not
-            # replicated) and works under multi-host too.
-            state = trainer.restore_state()
-            print(f"resumed from step {latest}")
+            # replicated) and works under multi-host too. The explicit
+            # step keeps the collective restore uniform even if the
+            # per-process checkpoint dirs have drifted.
+            state = trainer.restore_state(step=latest)
+            if is_main:
+                print(f"resumed from step {latest}")
 
     eval_fn = None
     if cfg.train.eval_every_steps:
@@ -447,18 +481,7 @@ def cmd_eval(args) -> int:
             checkpoint=dataclasses.replace(cfg.checkpoint, save_dir=args.checkpoint)
         )
     trainer = Trainer(cfg, steps_per_epoch=1)
-    state = trainer.init_state()
-    latest = trainer.checkpointer.latest_step("norm")
-    if latest is not None:
-        # Params-only restore (warm_start machinery): inference does not
-        # need optimizer slots, so a checkpoint written under a DIFFERENT
-        # optimizer config (e.g. a rehearsal run with accum_steps=1)
-        # loads fine — the full-state template restore would fail on the
-        # opt_state tree mismatch.
-        state = trainer.warm_start(state, cfg.checkpoint.save_dir)
-        print(f"evaluating checkpoint step {latest}")
-    else:
-        print("no checkpoint found; evaluating fresh init")
+    state = _load_inference_params(trainer, cfg, "evaluating")
 
     if args.synthetic:
         ds = SyntheticVOC(n=args.synthetic, num_classes=cfg.model.num_classes,
@@ -548,20 +571,21 @@ def cmd_predict(args) -> int:
             checkpoint=dataclasses.replace(cfg.checkpoint, save_dir=args.checkpoint)
         )
     trainer = Trainer(cfg, steps_per_epoch=1)
-    state = trainer.init_state()
-    latest = trainer.checkpointer.latest_step("norm")
-    if latest is not None:
-        # Params-only restore (warm_start machinery): inference does not
-        # need optimizer slots, so a checkpoint written under a DIFFERENT
-        # optimizer config (e.g. a rehearsal run with accum_steps=1)
-        # loads fine — the full-state template restore would fail on the
-        # opt_state tree mismatch.
-        state = trainer.warm_start(state, cfg.checkpoint.save_dir)
-        print(f"using checkpoint step {latest}")
-    else:
-        print("warning: no checkpoint found; predicting with fresh init")
+    state = _load_inference_params(trainer, cfg, "predicting with")
 
     model, params = trainer.model, state.params
+    _pre_cache: dict[str, tuple] = {}
+
+    def _load_pair(path):
+        """Decoded raw + preprocessed model input for one file, consuming
+        the int8-calibration cache so those files are decoded once."""
+        cached = _pre_cache.pop(path, None)
+        if cached is not None:
+            return cached
+        raw = np.asarray(Image.open(path).convert("RGB"))
+        img, _ = preprocess_eval(raw, None, input_size=cfg.model.input_size)
+        return raw, img
+
     if args.int8:
         # Self-calibration on the prediction inputs themselves (PTQ needs
         # only activation RANGES, not labels — the inputs are exactly the
@@ -570,9 +594,12 @@ def cmd_predict(args) -> int:
 
         calib = []
         for path in args.inputs[:8]:
-            raw = np.asarray(Image.open(path).convert("RGB"))
-            img, _ = preprocess_eval(raw, None, input_size=cfg.model.input_size)
+            raw, img = _load_pair(path)
             calib.append(img)
+            # The first chunk re-reads these same files; cache the
+            # decoded+preprocessed pair so calibration doesn't double the
+            # startup decode/resize work.
+            _pre_cache[path] = (raw, img)
         model, params = quantize_model(
             cfg.model, params, [np.stack(calib)]
         )
@@ -636,11 +663,9 @@ def cmd_predict(args) -> int:
     with ThreadPoolExecutor(max_workers=workers) as pool:
         for start in range(0, len(args.inputs), bs):
             chunk = args.inputs[start:start + bs]
-            raws = [np.asarray(Image.open(p).convert("RGB")) for p in chunk]
-            imgs = np.stack([
-                preprocess_eval(r, None, input_size=cfg.model.input_size)[0]
-                for r in raws
-            ])
+            pairs = [_load_pair(p) for p in chunk]
+            raws = [r for r, _ in pairs]
+            imgs = np.stack([im for _, im in pairs])
             if len(chunk) < bs:
                 imgs = np.concatenate([
                     imgs,
@@ -671,18 +696,7 @@ def cmd_export(args) -> int:
             checkpoint=dataclasses.replace(cfg.checkpoint, save_dir=args.checkpoint)
         )
     trainer = Trainer(cfg, steps_per_epoch=1)
-    state = trainer.init_state()
-    latest = trainer.checkpointer.latest_step("norm")
-    if latest is not None:
-        # Params-only restore (warm_start machinery): inference does not
-        # need optimizer slots, so a checkpoint written under a DIFFERENT
-        # optimizer config (e.g. a rehearsal run with accum_steps=1)
-        # loads fine — the full-state template restore would fail on the
-        # opt_state tree mismatch.
-        state = trainer.warm_start(state, cfg.checkpoint.save_dir)
-        print(f"exporting checkpoint step {latest}")
-    else:
-        print("warning: no checkpoint found; exporting fresh init")
+    state = _load_inference_params(trainer, cfg, "exporting")
     if args.format == "npy":
         if args.int8 or args.calib_images:
             print("error: --int8/--calib-images apply only to "

@@ -206,6 +206,15 @@ def resolve_axis_sizes(cfg: MeshConfig, n_devices: int) -> dict[str, int]:
     evenly. Shared by :func:`make_mesh` and callers that need the sizes
     BEFORE building a mesh (e.g. the CLI's per-shard batch scaling)."""
     sizes = dict(cfg.axes)
+    wild = [k for k, v in sizes.items() if v == -1]
+    if len(wild) > 1:
+        # Two -1 axes would BOTH resolve to n/fixed below, silently
+        # over-subscribing the device count and surfacing later as a
+        # misleading "mesh axes use N devices, have M" error (and a bogus
+        # CLI per-shard batch auto-scale before it).
+        raise ValueError(
+            f"at most one mesh axis may be -1, got {wild} in {cfg.axes}"
+        )
     fixed = int(np.prod([s for s in sizes.values() if s != -1])) or 1
     for k, v in sizes.items():
         if v == -1:

@@ -526,13 +526,24 @@ class Trainer:
                 saved_params = (
                     saved["params"] if isinstance(saved, dict) else saved.params
                 )
-                new_params = jax.tree.map(
-                    lambda cur, t: jax.device_put(
-                        jnp.asarray(t, cur.dtype), cur.sharding
+                # Graft inside jit with out_shardings rather than
+                # device_put: on a multi-controller mesh the target
+                # shardings span non-addressable devices, which
+                # device_put of a host array rejects (same reason
+                # init_state builds inside jit). jit accepts the host
+                # arrays as replicated inputs — every process restored
+                # the same checkpoint — and materializes the global
+                # arrays directly.
+                dtypes = jax.tree.map(lambda c: c.dtype, state.params)
+                graft = jax.jit(
+                    lambda ts: jax.tree.map(
+                        lambda t, d: t.astype(d), ts, dtypes
                     ),
-                    state.params,
-                    saved_params,
+                    out_shardings=jax.tree.map(
+                        lambda c: c.sharding, state.params
+                    ),
                 )
+                new_params = graft(saved_params)
         finally:
             mgr.close()
         return state.replace(params=new_params)
@@ -591,6 +602,12 @@ class Trainer:
             # better pre-preemption "best" checkpoint. Fresh/warm-started
             # runs (step 0) keep -inf — new lineage, new best race.
             self._best_metric = self._load_best_metric()
+        elif step_idx == 0:
+            # New lineage: a SECOND fit() on this Trainer with a fresh
+            # state must not inherit the previous run's best — its evals
+            # would never beat it and the new run would end with no
+            # "best" checkpoint at all.
+            self._best_metric = float("-inf")
         prefetcher = None
         if cfg.data.prefetch > 0 and not isinstance(batches, DevicePrefetcher):
             prefetcher = DevicePrefetcher(batches, self.plan, depth=cfg.data.prefetch)
@@ -604,6 +621,27 @@ class Trainer:
         metrics = None
         preempted = False
         prev_metrics = None  # metrics of the PREVIOUS dispatch (see below)
+
+        def _checked_save(tag: str) -> None:
+            # Validate the CURRENT dispatch's loss before persisting its
+            # state: the in-loop watchdog checks the PREVIOUS dispatch
+            # (to keep the pipeline full), so a loss that went non-finite
+            # exactly on a save-boundary step would otherwise be written
+            # as the latest checkpoint — and --resume would restore the
+            # poisoned state (the next iteration's check then kills the
+            # run, too late). The save already syncs on the state (orbax
+            # fetches it to host), so this scalar fetch costs nothing
+            # extra. On the preemption path, raising here deliberately
+            # skips the save: keeping the last GOOD rolling checkpoint
+            # beats overwriting it with a NaN state.
+            nonlocal prev_metrics
+            if metrics is not None:
+                reason = watchdog.check(float(jax.device_get(metrics["loss"])))
+                if reason is not None:
+                    raise RuntimeError(f"training unhealthy: {reason}")
+                prev_metrics = None  # this dispatch is now validated
+            self.checkpointer.save(state, tag=tag)
+
         with GracefulShutdown() as shutdown, contextlib.ExitStack() as stack:
             if prefetcher is not None:
                 stack.callback(prefetcher.close)
@@ -626,7 +664,7 @@ class Trainer:
                     # leave cleanly (the reference would lose up to 6000
                     # steps here — SURVEY.md §5).
                     preempted = True
-                    self.checkpointer.save(state, tag="norm")
+                    _checked_save("norm")
                     self.checkpointer.wait()
                     break
                 batch = next(batch_it, _END)
@@ -653,7 +691,7 @@ class Trainer:
                     # (3 per 40-epoch run).
                     for i, arrays_i in enumerate(buf):
                         if step_idx + i in lr_drop_steps:
-                            self.checkpointer.save(state, tag="lr")
+                            _checked_save("lr")
                         state, metrics = self.train_step(state, arrays_i)
                     buf = []
                 elif use_macro:
@@ -661,7 +699,7 @@ class Trainer:
                     buf = []
                 else:
                     if window_has_drop:
-                        self.checkpointer.save(state, tag="lr")
+                        _checked_save("lr")
                     state, metrics = self.train_step(state, arrays)
                 prev_idx = step_idx
                 n_done += advance
@@ -732,7 +770,7 @@ class Trainer:
                     prev_idx // cfg.checkpoint.save_every_steps
                     < step_idx // cfg.checkpoint.save_every_steps
                 ):
-                    self.checkpointer.save(state, tag="norm")
+                    _checked_save("norm")
             # A finite iterator can end mid-macro-window: flush the
             # buffered (already device-put) batches through single steps
             # so no training step is silently dropped — and neither are
@@ -749,23 +787,27 @@ class Trainer:
                         cfg.checkpoint.snapshot_on_lr_drop
                         and step_idx in lr_drop_steps
                     ):
-                        self.checkpointer.save(state, tag="lr")
+                        _checked_save("lr")
                     state, metrics = self.train_step(state, arrays)
+                    prev_metrics = metrics
                     n_done += 1
                     step_idx += 1
                     if cfg.checkpoint.save_every_steps and (
                         (step_idx - 1) // cfg.checkpoint.save_every_steps
                         < step_idx // cfg.checkpoint.save_every_steps
                     ):
-                        self.checkpointer.save(state, tag="norm")
+                        _checked_save("norm")
             # Final health check: the in-loop watchdog always inspects the
             # PREVIOUS dispatch (to keep the pipeline full), so the last
-            # dispatch — and the tail-flush steps above — would otherwise
-            # escape scrutiny and a NaN state could be checkpointed as
-            # "norm" by the caller. NaNs propagate through the params, so
-            # one check on the final loss covers the whole tail.
-            if metrics is not None and not preempted:
-                reason = watchdog.check(float(jax.device_get(metrics["loss"])))
+            # dispatch would otherwise escape scrutiny and a NaN state
+            # could be checkpointed as "norm" by the caller. prev_metrics
+            # is None exactly when _checked_save already validated the
+            # final dispatch. NaNs propagate through the params, so one
+            # check on the final loss covers the whole tail.
+            if prev_metrics is not None and not preempted:
+                reason = watchdog.check(
+                    float(jax.device_get(prev_metrics["loss"]))
+                )
                 if reason is not None:
                     raise RuntimeError(f"training unhealthy: {reason}")
         return state

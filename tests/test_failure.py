@@ -189,6 +189,52 @@ def test_fit_watchdog_checks_final_dispatch(rng, tmp_path):
     trainer.checkpointer.close()
 
 
+def test_fit_never_checkpoints_nan_state(rng, tmp_path):
+    """Round-3 review finding: a cadence save runs right after the
+    dispatch it covers, but the in-loop watchdog validates the PREVIOUS
+    dispatch — so a loss that went non-finite exactly on a save-boundary
+    step was persisted as the latest "norm" checkpoint, and --resume
+    restored the poisoned state. Saves now validate the current
+    dispatch's loss first: the run must raise with NO checkpoint
+    written."""
+    from em_adapt_tpu.config import (
+        CheckpointConfig,
+        EStepConfig,
+        ExperimentConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(33, 33), fc6_channels=8),
+        estep=EStepConfig(num_iter=2),
+        optim=OptimConfig(accum_steps=1, lr_schedule=()),
+        train=TrainConfig(batch_size=8, epochs=2, seed=0,
+                          log_every_steps=10**6),
+        checkpoint=CheckpointConfig(save_dir=str(tmp_path / "saver"),
+                                    save_every_steps=2, async_save=False),
+    )
+    trainer = Trainer(cfg, steps_per_epoch=100)
+    state = trainer.init_state()
+
+    def batches():
+        step = 0
+        while True:
+            img = rng.normal(size=(8, 33, 33, 3)).astype(np.float32) * 20
+            if step == 1:  # the dispatch that lands on the save boundary
+                img[:] = np.nan
+            lab = rng.integers(0, 4, size=(8, 33, 33, 1)).astype(np.float32)
+            yield {"image": img, "label": lab}
+            step += 1
+
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer.fit(state, batches(), num_steps=2)
+    assert trainer.checkpointer.latest_step("norm") is None
+    trainer.checkpointer.close()
+
+
 def test_requested_uniform_single_process_matches_local_flag():
     """Single-process: requested_uniform is exactly the local flag (the
     cross-process KV path only engages under a distributed client)."""

@@ -27,6 +27,15 @@ def test_make_mesh_rejects_bad_split():
         make_mesh(MeshConfig(axes=(("data", 3), ("space", 2))))
 
 
+def test_make_mesh_rejects_two_wildcard_axes():
+    """Two -1 axes would each silently resolve to ALL remaining devices
+    (review finding: the real error surfaced later as a misleading
+    device-count mismatch, after the CLI had already auto-scaled the
+    batch from the bogus data-axis size)."""
+    with pytest.raises(ValueError, match="at most one"):
+        make_mesh(MeshConfig(axes=(("data", -1), ("space", -1))))
+
+
 def test_batch_sharding_specs():
     plan = make_mesh(MeshConfig(axes=(("data", 4), ("space", 2))))
     spec = plan.batch_sharding().spec

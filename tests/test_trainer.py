@@ -799,6 +799,17 @@ def test_best_metric_survives_trainer_restart(rng, tmp_path):
         eval_fn=lambda s, it=iter([0.2, 0.05, 0.01]): next(it),
     )
     assert json.load(open(side_path))["metric"] == 0.2
+
+    # Second fit() on the SAME Trainer instance with a fresh (step-0)
+    # state: also a new lineage — the instance must not carry the
+    # previous run's best across fit() calls (review finding: the stale
+    # _best_metric suppressed every "best" save of the new run).
+    trainer4.fit(
+        trainer4.init_state(),
+        (tiny_batch(rng) for _ in range(6)),
+        eval_fn=lambda s, it=iter([0.15, 0.02, 0.01]): next(it),
+    )
+    assert json.load(open(side_path))["metric"] == 0.15
     trainer4.checkpointer.close()
 
 
