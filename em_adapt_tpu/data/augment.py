@@ -2,7 +2,8 @@
 
 Semantics contract (reference dataset.py:147-199):
 * train: random scale s ~ U(0.75, 1.25); bilinear-resize the image and
-  nearest-resize the label to (round(H*s), round(W*s))  — then
+  nearest-resize the label to (int(H*s), int(W*s)) — TRUNCATED, matching
+  TF1's int32 cast (reference dataset.py:153), not rounded — then
   unconditionally resize to the fixed input size (so the "scale" is
   resampling jitter, not a crop; reference dataset.py:151-173);
 * RGB -> BGR channel swap then Caffe mean subtraction

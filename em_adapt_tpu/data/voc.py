@@ -113,8 +113,20 @@ def convert_dataset(
                 log(f"voc: {i}/{len(files)}")
             img = Image.open(path)
             arr = np.asarray(img)
-            if arr.ndim == 3 and arr.shape[2] > 1:
+            if arr.ndim == 3 and arr.shape[2] >= 3:
                 arr = rgb_mask_to_index(arr)
+            elif arr.ndim == 3 and arr.shape[2] == 1:
+                arr = arr[:, :, 0]  # single-channel 3-D: already indices
+            elif arr.ndim != 2:
+                # e.g. an LA (gray+alpha) PNG: neither an index mask nor
+                # a palette-color mask — name the file instead of dying
+                # mid-dataset on a numpy broadcast error inside
+                # rgb_mask_to_index.
+                raise ValueError(
+                    f"{path}: unsupported mask layout {arr.shape} (PIL "
+                    f"mode {img.mode!r}); expected a palette/grayscale "
+                    "index mask or an RGB(A) palette-color mask"
+                )
             Image.fromarray(arr.astype(np.uint8)).save(
                 os.path.join(out_dir, os.path.basename(path))
             )

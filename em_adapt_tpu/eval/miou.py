@@ -49,9 +49,13 @@ class ConfusionAccumulator:
 
     Counts accumulate on DEVICE in int32 (keeping the eval loop's
     dispatches async — no per-batch host sync) and flush to a host int64
-    total every ``flush_every`` batches: a train-split evaluation
-    (10,582 x 321^2 ~ 1.1e9 pixels) would overflow int32, but 128 batches
-    hold far fewer than 2^31 pixels. Each flush transfers 1.8 KB."""
+    total before a window's PIXEL total could reach 2^31 — a single cell
+    (e.g. background/background) can absorb every pixel in the window, so
+    the overflow bound is pixels, not batches. ``flush_every`` additionally
+    caps the window in batches. A train-split evaluation (10,582 x 321^2
+    ~ 1.1e9 pixels) stays exact either way; each flush transfers 1.8 KB."""
+
+    _PIXEL_BUDGET = 2**30  # flush before the next batch could pass 2^31
 
     def __init__(self, num_classes: int, flush_every: int = 128):
         self.num_classes = num_classes
@@ -59,16 +63,25 @@ class ConfusionAccumulator:
         self._host = np.zeros((num_classes, num_classes), np.int64)
         self._dev = jnp.zeros((num_classes, num_classes), jnp.int32)
         self._pending = 0
+        self._pixels = 0
 
     def _flush(self) -> None:
         if self._pending:
             self._host += np.asarray(jax.device_get(self._dev), np.int64)
             self._dev = jnp.zeros_like(self._dev)
             self._pending = 0
+            self._pixels = 0
 
     def update(self, pred: jax.Array, gt: jax.Array) -> None:
+        n_pix = int(np.prod(pred.shape))
+        if self._pixels + n_pix > self._PIXEL_BUDGET:
+            # Flush BEFORE adding: large eval shapes (e.g. batch 96 at
+            # 449^2) reach 2^31 pixels well inside 128 batches, and int32
+            # wraparound in a dominant cell is silent.
+            self._flush()
         self._dev = self._dev + confusion_matrix(pred, gt, self.num_classes)
         self._pending += 1
+        self._pixels += n_pix
         if self._pending >= self.flush_every:
             self._flush()
 

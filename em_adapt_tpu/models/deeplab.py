@@ -227,6 +227,29 @@ class DeepLabLargeFOV:
                     f"model.block1_impl='pallas' does not support input "
                     f"{h}x{w} (needs square odd sizes); use 'xla'"
                 )
+            if jax.default_backend() == "tpu":
+                # Known-fatal Mosaic-compile combinations (a real TPU
+                # only — off-TPU the kernel interprets, where no VMEM
+                # ceiling exists): fail with a config error, not an
+                # opaque scoped-VMEM OOM deep inside jit.
+                if self.cfg.compute_dtype != "bfloat16":
+                    # Measured: the f32 forward needs 100.85 MiB scoped
+                    # VMEM (over the 100 MiB ceiling); the backward OOMs
+                    # even at 112.
+                    raise ValueError(
+                        "model.block1_impl='pallas' on TPU requires "
+                        "compute_dtype='bfloat16' (the f32 kernel "
+                        "exceeds the scoped-VMEM ceiling); use 'xla' "
+                        "or 'auto'"
+                    )
+                if not block1_vmem_ok():
+                    raise ValueError(
+                        "model.block1_impl='pallas' needs a TPU "
+                        "generation whose VMEM fits the kernel (v4+); "
+                        "this backend is "
+                        f"{jax.devices()[0].device_kind!r} — use 'xla' "
+                        "or 'auto'"
+                    )
             if n_dev > 1 and not can_shard:
                 import warnings
 

@@ -35,8 +35,12 @@ def conv2d_same(
       w: [kh, kw, Cin, Cout] (HWIO, same layout as the reference's
         Caffe-converted init.npy — reference deeplab.py:160).
       rate: kernel (rhs) dilation; 1 = dense conv.
-      compute_dtype: cast inputs for the MXU (e.g. bfloat16); accumulation
-        is forced to float32 via preferred_element_type.
+      compute_dtype: cast inputs for the MXU (e.g. bfloat16). The MXU
+        accumulates in f32 internally, but the conv OUTPUT is rounded to
+        compute_dtype per conv (preferred_element_type is deliberately
+        NOT set — see the comment below on the transpose rule); callers
+        needing f32-accumulated outputs under bf16 compute must upcast
+        around the call themselves.
     """
     orig_dtype = x.dtype
     if compute_dtype is not None:

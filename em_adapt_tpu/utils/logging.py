@@ -63,6 +63,8 @@ class MetricLogger:
                     return str(v)
                 if isinstance(v, list):
                     return [finite(x) for x in v]
+                if isinstance(v, dict):
+                    return {k: finite(x) for k, x in v.items()}
                 return v
 
             self._fh.write(

@@ -225,6 +225,22 @@ def test_auto_gating_resolution(monkeypatch):
     # (measured OOM on v5e, round 3) — auto keeps XLA
     f32_model = DeepLabLargeFOV(ModelConfig(block1_impl="auto"))
     assert f32_model._block1_mode(6, 321, 321, True) == "xla"
+    # FORCED 'pallas' on a TPU backend with the same known-fatal
+    # combinations must fail as a config error, not an opaque Mosaic
+    # scoped-VMEM OOM inside jit (review finding)
+    forced_f32 = DeepLabLargeFOV(ModelConfig(block1_impl="pallas"))
+    with pytest.raises(ValueError, match="bfloat16"):
+        forced_f32._block1_mode(6, 321, 321, True)
+    import em_adapt_tpu.ops.block1_pallas as _b1
+
+    forced_bf16 = DeepLabLargeFOV(
+        ModelConfig(block1_impl="pallas", compute_dtype="bfloat16")
+    )
+    monkeypatch.setattr(_b1, "block1_vmem_ok", lambda: False)
+    with pytest.raises(ValueError, match="VMEM"):
+        forced_bf16._block1_mode(6, 321, 321, True)
+    monkeypatch.setattr(_b1, "block1_vmem_ok", lambda: True)
+    assert forced_bf16._block1_mode(6, 321, 321, True) == "pallas"
     assert model._block1_mode(24, 321, 321, True) == "xla"   # big batch
     assert model._block1_mode(6, 320, 320, True) == "xla"    # even size
     monkeypatch.setattr(jax, "device_count", lambda: 8)

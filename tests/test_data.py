@@ -96,6 +96,22 @@ def test_convert_dataset(tmp_path):
     np.testing.assert_array_equal(b, seg)
 
 
+def test_convert_dataset_names_unsupported_mask_mode(tmp_path):
+    """Review finding: an LA-mode (gray+alpha) mask crashed deep inside
+    rgb_mask_to_index with a numpy broadcast error; it must fail with an
+    error naming the offending file and mode."""
+    import pytest
+    from PIL import Image
+
+    voc = tmp_path / "SegmentationClass"
+    out = tmp_path / "SegmentationClassAug"
+    voc.mkdir()
+    la = Image.fromarray(np.zeros((6, 6, 2), np.uint8), mode="LA")
+    la.save(voc / "2007_000009.png")
+    with pytest.raises(ValueError, match="2007_000009.*mode 'LA'"):
+        convert_dataset(str(voc), None, str(out), log=lambda *a: None)
+
+
 def test_augment_shapes_and_flip_sharing():
     g = np.random.default_rng(0)
     img = g.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)

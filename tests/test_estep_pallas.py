@@ -88,6 +88,20 @@ def test_pallas_batch_tiling_matches_oracle(rng, monkeypatch):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=0)
 
 
+def test_batch_tile_minimizes_padding():
+    """Review finding: the largest fitting tile padded the folded
+    production batch 30 up to 48 (60% dead kernel work); the tile choice
+    must minimize grid padding instead, tie-broken toward fewer grid
+    dispatches."""
+    from em_adapt_tpu.ops.estep_pallas import batch_tile
+
+    hw, c = 41 * 41, 21  # production shape: VMEM cap = 28 images/tile
+    assert batch_tile(28, hw, c) == 28  # whole batch fits -> single tile
+    assert batch_tile(30, hw, c) == 16  # 2x16 = 32 padded, not 2x24 = 48
+    assert batch_tile(48, hw, c) == 24  # exact 2x24, zero padding
+    assert batch_tile(96, hw, c) == 24  # 4x24 (the benchmarked layout)
+
+
 def test_pallas_threshold_bitexact_single_class(rng):
     """With one present fg class and suppression off, the bias added to
     that channel must be the exact float np.partition selects."""

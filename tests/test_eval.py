@@ -68,6 +68,26 @@ def test_accumulator_chunked_flush_matches_direct():
     assert a._host.dtype == np.int64
 
 
+def test_accumulator_flushes_on_pixel_budget(monkeypatch):
+    """Review finding: flush_every bounds BATCHES per window, but int32
+    overflow is bounded by PIXELS — a dominant cell (all-background) at
+    large eval shapes wraps inside 128 batches. The accumulator must
+    flush on a pixel budget independently of flush_every."""
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.eval.miou import ConfusionAccumulator
+
+    acc = ConfusionAccumulator(3, flush_every=1000)
+    monkeypatch.setattr(ConfusionAccumulator, "_PIXEL_BUDGET", 200)
+    p = jnp.zeros((2, 9, 9), jnp.int32)  # 162 pixels/batch, all cell [0,0]
+    for _ in range(5):
+        acc.update(p, p)
+    # budget 200 forces a host flush before every second add
+    assert int(acc._host[0, 0]) >= 2 * 162
+    miou, _ = acc.result()
+    assert int(acc._host[0, 0]) == 5 * 162 and miou == 1.0
+
+
 def test_accumulator_update_host_matches_device():
     """update_host (used by the exact-VOC path, where per-image original
     shapes would retrace the jitted confusion_matrix) must produce the

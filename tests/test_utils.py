@@ -34,6 +34,22 @@ def test_metric_logger_handles_jax_scalars(tmp_path):
     assert "loss=2" in buf.getvalue()
 
 
+def test_metric_logger_nonfinite_in_nested_dict_stays_valid_json(tmp_path):
+    """Review finding: the NaN sanitizer recursed into lists but not
+    dicts, so a dict-valued metric holding a non-finite float emitted a
+    bare NaN token — invalid JSON, exactly when the JSONL matters."""
+    buf = io.StringIO()
+    path = tmp_path / "metrics.jsonl"
+    logger = MetricLogger(str(path), stream=buf)
+    logger.log({"per_class": {"cat": float("nan")},
+                "curve": [1.0, float("inf")]})
+    logger.close()
+    (line,) = path.read_text().splitlines()
+    rec = json.loads(line)  # must parse — no bare NaN/Infinity tokens
+    assert rec["per_class"]["cat"] == "nan"
+    assert rec["curve"][1] == "inf"
+
+
 def test_step_timer_excludes_warmup():
     t = StepTimer(warmup=1)
     for _ in range(5):
