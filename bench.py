@@ -85,9 +85,13 @@ def main(micro: bool = False) -> None:
     # mask generation alone cost ~32 ms/step at this shape (PROFILE.md).
     per_chip, accum = (6, 5) if micro else (30, 1)
     batch = per_chip * n_dev
+    import dataclasses
+
     cfg = cfg.replace(
-        optim=cfg.optim.__class__(accum_steps=accum),
-        train=cfg.train.__class__(batch_size=batch, macro_steps=K, rng_impl="rbg"),
+        optim=dataclasses.replace(cfg.optim, accum_steps=accum),
+        train=dataclasses.replace(
+            cfg.train, batch_size=batch, macro_steps=K, rng_impl="rbg"
+        ),
     )
 
     # steps_per_epoch only indexes the LR schedule here: 10582 train

@@ -332,9 +332,66 @@ def flatten(cfg, prefix: str = "") -> dict[str, object]:
     return out
 
 
+def _coerce_override(raw: str, tp, key: str):
+    """Parse one CLI override value and validate it against the field's
+    declared type.
+
+    ast.literal_eval only accepts Python spellings (True/None); the
+    natural config spellings users type (true/false/none) would
+    otherwise fall back to bare strings that silently invert semantics
+    downstream — ``estep.suppress_others=false`` stored as the truthy
+    string "false" keeps suppression ON while the user believes it is
+    off. Strings that cannot be interpreted as the field's type are a
+    hard error, not a silent store.
+    """
+    import ast
+    import types as _types
+    import typing
+
+    try:
+        value = ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        value = raw  # bare string, validated below
+
+    if tp is None:  # unannotated field: accept as parsed
+        return value
+    options = (
+        typing.get_args(tp)
+        if typing.get_origin(tp) in (typing.Union, _types.UnionType)
+        else (tp,)
+    )
+    # Parameterized generics (tuple[int, ...]) validate against the origin.
+    concrete = tuple(
+        c
+        for c in (typing.get_origin(o) or o for o in options)
+        if isinstance(c, type)
+    )
+
+    if isinstance(value, str):
+        low = value.strip().lower()
+        if bool in concrete and low in ("true", "false"):
+            return low == "true"
+        if type(None) in concrete and low in ("none", "null"):
+            return None
+        if str in concrete:
+            return value
+        raise ValueError(
+            f"override {key}={raw!r}: cannot interpret {raw!r} as {tp}"
+        )
+    if isinstance(value, int) and not isinstance(value, bool):
+        if float in concrete and int not in concrete:
+            return float(value)
+    if concrete and not isinstance(value, concrete):
+        raise ValueError(
+            f"override {key}={raw!r}: parsed {value!r} "
+            f"({type(value).__name__}) does not match field type {tp}"
+        )
+    return value
+
+
 def apply_overrides(cfg: ExperimentConfig, overrides: Sequence[str]) -> ExperimentConfig:
     """Apply CLI 'dotted.key=value' overrides to a config tree."""
-    import ast
+    import typing
 
     keys = set()
     for item in overrides:
@@ -342,11 +399,15 @@ def apply_overrides(cfg: ExperimentConfig, overrides: Sequence[str]) -> Experime
         if not _:
             raise ValueError(f"override {item!r} must look like key=value")
         keys.add(key)
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw  # bare string
         parts = key.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        try:
+            tp = typing.get_type_hints(type(node)).get(parts[-1])
+        except Exception:
+            tp = None
+        value = _coerce_override(raw, tp, key)
         cfg = _replace_path(cfg, parts, value)
     # model.input_size and data.input_size describe the SAME quantity at
     # two consumers (model trace shape vs pipeline resize target); a user

@@ -107,5 +107,15 @@ def estep_native(
         fg_p,
     )
     if rc != 0:
-        raise RuntimeError(f"emadapt_estep failed with code {rc}")
+        reasons = {
+            1: "null pointer",
+            2: "invalid sizes",
+            3: "invalid class orders",
+            4: "percentile out of range",
+            5: "allocation failure",
+        }
+        raise RuntimeError(
+            f"emadapt_estep failed with code {rc}"
+            f" ({reasons.get(rc, 'unknown')})"
+        )
     return out

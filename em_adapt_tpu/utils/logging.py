@@ -32,11 +32,25 @@ class MetricLogger:
         import numpy as np
 
         def scalarize(v):
+            # Recurse into containers first: a numpy scalar nested inside
+            # a dict/list metric (e.g. {"aeroplane": np.float32(...)})
+            # must convert too or json.dumps raises from inside the
+            # logger — the crash this function exists to prevent.
+            if isinstance(v, dict):
+                return {k: scalarize(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [scalarize(x) for x in v]
+            if isinstance(v, (bool, int, float, str)) or v is None:
+                return v
             # Only 0-d values convert: a length-N ndarray/jax.Array also
             # defines __float__ but float(it) raises — e.g. a
             # per_class_iou vector must serialize as a list, not crash
             # the train loop's log call.
             if np.ndim(v) == 0 and hasattr(v, "__float__"):
+                # Integral device/numpy scalars (step counters) keep
+                # their integer identity in the JSONL.
+                if hasattr(v, "dtype") and np.issubdtype(v.dtype, np.integer):
+                    return int(v)
                 return float(v)
             if hasattr(v, "tolist"):
                 return v.tolist()

@@ -17,6 +17,7 @@
 // Build: make -C native   (produces libemadapt_estep.so)
 
 #include <algorithm>
+#include <atomic>
 #include <cfloat>
 #include <cstdint>
 #include <cstring>
@@ -57,7 +58,8 @@ extern "C" {
 //          bit (a float32-narrowed p can land the product on the other
 //          side of an integer boundary and shift k by 1 — breaking the
 //          pixel-identical argmax contract, ops/estep_oracle.py:116-117).
-// Returns 0 on success, nonzero on invalid arguments.
+// Returns 0 on success; 1/2 invalid pointers/sizes, 3 invalid orders,
+// 4 percentile out of range, 5 allocation failure.
 int emadapt_estep(const float* scores, float* out, const int32_t* labels,
                   int32_t B, int32_t H, int32_t W, int32_t C,
                   const int32_t* orders, int32_t num_iter,
@@ -125,11 +127,23 @@ int emadapt_estep(const float* scores, float* out, const int32_t* labels,
   // Images are independent given the shared visit schedule: parallelize
   // the batch across host threads (the reference's kernel was strictly
   // serial — and broken for batch > 1).
+  // A bad_alloc thrown inside an OpenMP structured block cannot unwind
+  // out of it (libgomp calls std::terminate), so the per-thread scratch
+  // allocation is trapped in-thread and surfaced via a flag instead.
+  std::atomic<int> alloc_failed{0};
 #pragma omp parallel
   {
-    std::vector<float> diff(HW);
+    std::vector<float> diff;
+    bool thread_ok = true;
+    try {
+      diff.resize(HW);
+    } catch (const std::exception&) {
+      thread_ok = false;
+      alloc_failed.store(1, std::memory_order_relaxed);
+    }
 #pragma omp for schedule(static)
     for (int b = 0; b < B; ++b) {
+      if (!thread_ok) continue;
       float* img = out + b * img_elems;
       for (int it = 0; it < num_iter; ++it) {
         const int32_t* row = orders + int64_t(it) * (C - 1);
@@ -149,6 +163,8 @@ int emadapt_estep(const float* scores, float* out, const int32_t* labels,
     }
   }
 
+  if (alloc_failed.load(std::memory_order_relaxed)) return 5;
+
   for (int b = 0; b < B; ++b) {
     float* img = out + b * img_elems;
     double acc = 0.0;
@@ -159,7 +175,7 @@ int emadapt_estep(const float* scores, float* out, const int32_t* labels,
   return 0;
 
   } catch (const std::exception&) {
-    return 3;  // allocation failure
+    return 5;  // allocation failure (tags/before vectors)
   }
 }
 

@@ -39,3 +39,43 @@ def test_override_unrelated_keys_untouched():
     c = apply_overrides(ExperimentConfig(), ["optim.base_lr=0.01"])
     assert c.optim.base_lr == 0.01
     assert c.model.input_size == c.data.input_size == (321, 321)
+
+
+def test_override_natural_bool_spellings():
+    """'false' (lowercase, as JSON/YAML users write it) must turn the
+    bool OFF — not store a truthy string that silently keeps suppression
+    on while the user believes it is off."""
+    c = apply_overrides(ExperimentConfig(), ["estep.suppress_others=false"])
+    assert c.estep.suppress_others is False
+    c = apply_overrides(c, ["estep.suppress_others=TRUE"])
+    assert c.estep.suppress_others is True
+
+
+def test_override_natural_none_spelling():
+    c = apply_overrides(
+        ExperimentConfig(), ["train.eval_every_steps=500"]
+    )
+    assert c.train.eval_every_steps == 500
+    c = apply_overrides(c, ["train.eval_every_steps=none"])
+    assert c.train.eval_every_steps is None
+
+
+def test_override_unparseable_value_for_typed_field_is_an_error():
+    with pytest.raises(ValueError, match="cannot interpret"):
+        apply_overrides(ExperimentConfig(), ["optim.base_lr=fast"])
+    with pytest.raises(ValueError, match="does not match"):
+        apply_overrides(ExperimentConfig(), ["estep.suppress_others=(1,2)"])
+
+
+def test_override_bare_string_ok_for_string_fields():
+    c = apply_overrides(ExperimentConfig(), ["estep.impl=pallas"])
+    assert c.estep.impl == "pallas"
+    c = apply_overrides(
+        ExperimentConfig(), ["model.init_model_path=/tmp/init.npy"]
+    )
+    assert c.model.init_model_path == "/tmp/init.npy"
+
+
+def test_override_int_promotes_to_float_field():
+    c = apply_overrides(ExperimentConfig(), ["optim.base_lr=1"])
+    assert c.optim.base_lr == 1.0 and isinstance(c.optim.base_lr, float)

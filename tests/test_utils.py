@@ -50,6 +50,28 @@ def test_metric_logger_nonfinite_in_nested_dict_stays_valid_json(tmp_path):
     assert rec["curve"][1] == "inf"
 
 
+def test_metric_logger_numpy_scalars_nested_in_containers(tmp_path):
+    """Review finding: scalarize only converted top-level values, so a
+    numpy scalar nested inside a dict/list metric crashed json.dumps
+    from inside the logger — killing the train loop at the log call."""
+    import numpy as np
+
+    buf = io.StringIO()
+    path = tmp_path / "metrics.jsonl"
+    logger = MetricLogger(str(path), stream=buf)
+    logger.log({
+        "step": np.int64(500),
+        "per_class": {"aeroplane": np.float32(0.31)},
+        "curve": [np.float32(1.5), np.int32(2)],
+    })
+    logger.close()
+    (line,) = path.read_text().splitlines()
+    rec = json.loads(line)  # must not raise
+    assert rec["step"] == 500 and isinstance(rec["step"], int)
+    assert abs(rec["per_class"]["aeroplane"] - 0.31) < 1e-6
+    assert rec["curve"][1] == 2
+
+
 def test_step_timer_excludes_warmup():
     t = StepTimer(warmup=1)
     for _ in range(5):

@@ -38,8 +38,11 @@ def main() -> None:
             model=ModelConfig(compute_dtype="bfloat16", remat=args.remat),
             mesh=MeshConfig(axes=(("data", n_dev),)),
         )
-        cfg = cfg.replace(train=cfg.train.__class__(
-            batch_size=batch, macro_steps=args.macro, rng_impl="rbg"))
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, batch_size=batch, macro_steps=args.macro,
+            rng_impl="rbg"))
         trainer = Trainer(cfg, steps_per_epoch=1763)
         state = trainer.init_state()
         host = {
