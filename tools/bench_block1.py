@@ -206,6 +206,7 @@ def main() -> None:
     candidates = {
         "baseline": block1_baseline,
         "im2col_gw": block1_im2col,
+        "im2col_both": block1_im2col_both,
         "s2d": block1_s2d,
         "pallas_fused": block1_pallas_fused,
     }

@@ -12,7 +12,10 @@ that powered block1 (8.6 TFLOP/s XLA baseline) is absent at block2's
 MXU-friendly shape (79 TFLOP/s XLA forward, PROFILE.md) and the kernel
 idea is dead on arrival.
 
-Timing: relay-safe chained fori_loop (see CLAUDE.md), one scalar fetch.
+Timing: relay-safe slope protocol (chains of N and 2N fori_loop iters,
+one scalar fetch each; the per-dispatch relay constant ~30 ms cancels in
+the difference — at N=20 it is ~1.5 ms/iter, the same order as block2's
+~1 ms forward, so a single-chain average would skew the ratio toward 1).
 """
 
 from __future__ import annotations
@@ -23,7 +26,9 @@ import time
 import numpy as np
 
 
-def _time_chain(fn, args, iters=20, warmup=2):
+def _chain_total(fn, args, iters, warmup=2, repeats=3):
+    """Median total wall time of ONE dispatch running `iters` chained
+    applications of fn (data-dependent chain defeats DCE/hoisting)."""
     import jax
     import jax.numpy as jnp
 
@@ -38,9 +43,19 @@ def _time_chain(fn, args, iters=20, warmup=2):
 
     for _ in range(warmup):
         float(run(*args))
-    t0 = time.perf_counter()
-    float(run(*args))
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(*args))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def _time_chain(fn, args, iters=20):
+    """Per-iteration time via the slope between chains of N and 2N."""
+    t_n = _chain_total(fn, args, iters)
+    t_2n = _chain_total(fn, args, 2 * iters)
+    return (t_2n - t_n) / iters
 
 
 def main() -> None:

@@ -63,13 +63,11 @@ def _synthetic_image(h: int, w: int, seed: int) -> tuple[np.ndarray, np.ndarray]
     return rgb, (e / e.sum(-1, keepdims=True)).astype(np.float32)
 
 
-def _bench_tpu(args, cfg, data, h: int, w: int) -> None:
+def _bench_tpu(cfg, data, h: int, w: int) -> None:
     """Slope-protocol device timing of the batched CRF: the K-iteration
     mean-field cost = t(2K) - t(K) per batch (splat/blur/slice all sit
     inside the fori_loop body, so compute scales linearly in iterations
     while the dispatch constant cancels)."""
-    import time
-
     import jax
     import jax.numpy as jnp
 
@@ -149,7 +147,7 @@ def main() -> None:
     data = [_synthetic_image(h, w, s) for s in range(args.images)]
 
     if args.tpu:
-        _bench_tpu(args, cfg, data, h, w)
+        _bench_tpu(cfg, data, h, w)
         if args.tpu_only:
             return
 

@@ -50,8 +50,6 @@ def main() -> None:
                 for u in range(K) for v in range(K)]
         return jnp.concatenate(taps, axis=3).reshape(B * H * H, K * K * CIN)
 
-    wm = w.reshape(K * K * CIN, COUT)
-
     def fc6_matmul(x, w):
         y = jnp.dot(patches(x), w.reshape(K * K * CIN, COUT),
                     preferred_element_type=jnp.float32)

@@ -51,7 +51,13 @@ def main() -> None:
         }
         sb = trainer.plan.shard_batch(host)
         mb = tuple([sb] * args.macro)
-        state, m = trainer.macro_step(state, mb)
+        # Trainer only builds macro_step for macro_steps > 1; --macro 1
+        # measures the unfused single-dispatch path via train_step.
+        if args.macro > 1:
+            step = trainer.macro_step
+        else:
+            step = lambda s, mb_: trainer.train_step(s, mb_[0])  # noqa: E731
+        state, m = step(state, mb)
         float(jax.device_get(m["loss"]))
         # Pipelined sync (same protocol as bench.py round 3): fetch the
         # PREVIOUS dispatch's scalar after enqueuing the next, median of
@@ -62,7 +68,7 @@ def main() -> None:
         prev = None
         t_last = time.perf_counter()
         for _ in range(n):
-            state, m = trainer.macro_step(state, mb)
+            state, m = step(state, mb)
             if prev is not None:
                 float(jax.device_get(prev["loss"]))
                 now = time.perf_counter()

@@ -266,24 +266,25 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
         # aborts. Record the collapse as the trajectory's result.
         aborted = str(e)
         log(f"aborted by watchdog: {e}")
+        # fit() raised, so the in-loop final state is gone; the last
+        # periodic eval is the final value. Its per-class IoU is
+        # unavailable — the best checkpoint stands in below, flagged
+        # via final_iou_source so the artifact never silently mixes
+        # two states' numbers.
         final_miou, final_iou = curve[-1][1], None
-    peak_step, peak_miou = max(curve, key=lambda c: c[1])
 
-    # per-class IoU at the PEAK via the "best" checkpoint the loop kept
-    peak_iou = final_iou
+    # Per-class IoU of the best phase-1 checkpoint the loop kept.
     have_best = trainer.checkpointer.latest_step("best") is not None
+    best1_miou, best1_iou = -1.0, None
     if have_best:
         best_state = trainer.restore_state(tag="best")
-        _, peak_iou = val(best_state)
-    if peak_iou is None:
-        peak_iou = iou0  # aborted before the first periodic eval
-    if final_iou is None:
-        final_iou = peak_iou  # aborted: best checkpoint is the last state
+        best1_miou, best1_iou = val(best_state)
 
     # Phase 2: production fine-tune from the best phase-1 checkpoint
     # (Trainer.warm_start = reference model_path semantics) at 10x lower
     # LR — EM keeps running, the locked labels consolidate instead of
     # oscillating at the hot phase-1 LR.
+    best2_miou, best2_iou = -1.0, None
     if refine_steps and have_best and aborted is None:
         import dataclasses as _dc
 
@@ -294,8 +295,13 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                 cfg.checkpoint,
                 save_dir=tempfile.mkdtemp(prefix="em_rehearsal_refine_"),
             ),
+            # tag_warmup_steps must be OFF here: warm_start resets the
+            # step counter to 0, so an inherited nonzero warmup window
+            # would silently re-run the tag-classification objective
+            # for the first refine steps instead of EM fine-tuning.
             train=_dc.replace(cfg.train,
-                              eval_every_steps=max(refine_steps // 4, 1)),
+                              eval_every_steps=max(refine_steps // 4, 1),
+                              tag_warmup_steps=0),
         )
         trainer2 = Trainer(cfg2, steps_per_epoch=steps_per_epoch)
         state2 = trainer2.warm_start(trainer2.init_state(),
@@ -314,7 +320,26 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                               log_fn=log_fn2, eval_fn=eval_fn)
         final_miou, final_iou = val(state2)
         curve.append((steps + refine_steps, round(float(final_miou), 4)))
+        # The refine loop keeps its own "best" checkpoint; a refine eval
+        # can beat every phase-1 eval, so it competes for the peak too.
+        if trainer2.checkpointer.latest_step("best") is not None:
+            best2_state = trainer2.restore_state(tag="best")
+            best2_miou, best2_iou = val(best2_state)
         trainer2.checkpointer.close()
+
+    # Peak over the FULL curve (phase 1 + refine evals); the per-class
+    # IoU at the peak comes from the highest-scoring restorable state.
+    peak_step, peak_miou = max(curve, key=lambda c: c[1])
+    final_iou_source = "final_state"
+    candidates = [(best1_miou, best1_iou), (best2_miou, best2_iou)]
+    if final_iou is not None:
+        candidates.append((float(final_miou), final_iou))
+    peak_iou = max(candidates, key=lambda c: c[0])[1]
+    if peak_iou is None:
+        peak_iou = iou0  # aborted before the first periodic eval
+    if final_iou is None:
+        final_iou = peak_iou
+        final_iou_source = "best_checkpoint (watchdog abort)"
 
     fg_iou = [float(v) for v in final_iou[1:]]
     peak_fg = [float(v) for v in peak_iou[1:]]
@@ -354,6 +379,7 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
         "final_miou": round(float(final_miou), 4),
         "mean_fg_iou": round(sum(fg_iou) / len(fg_iou), 4),
         "per_class_iou": [round(float(v), 4) for v in final_iou],
+        "final_iou_source": final_iou_source,
         "elapsed_sec": round(time.time() - t0, 1),
         "platform": jax.devices()[0].platform,
         "aborted_by_watchdog": aborted,
