@@ -3,7 +3,6 @@ fixtures generated from the upstream reference's estep_py
 (tests/fixtures/generate_goldens.py), plus algorithmic property tests.
 """
 
-import glob
 import os
 
 import numpy as np
@@ -12,28 +11,14 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
+from conftest import ESTEP_FIXTURES as FIXTURES  # noqa: E402
+from conftest import load_estep_fixture as load  # noqa: E402
 from em_adapt_tpu.ops.estep import (  # noqa: E402
     derive_tags as derive_tags_jax,
     estep as estep_jax,
     make_class_orders,
 )
 from em_adapt_tpu.ops.estep_oracle import derive_tags, estep_oracle  # noqa: E402
-
-FIXTURES = sorted(
-    glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "estep_*.npz"))
-)
-
-
-def load(path):
-    z = np.load(path)
-    kw = dict(
-        bg_p=float(z["bg_p"]),
-        fg_p=float(z["fg_p"]),
-        num_iter=int(z["num_iter"]),
-        suppress_others=bool(z["suppress"]),
-        margin_others=float(z["margin"]),
-    )
-    return z["scores"], z["label"], z["orders"], z["out"], kw
 
 
 @pytest.mark.parametrize("path", FIXTURES, ids=[os.path.basename(p) for p in FIXTURES])

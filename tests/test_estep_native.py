@@ -5,13 +5,14 @@ Also runs an ASan/UBSan build over multi-batch inputs — the class of bug
 """
 
 import ctypes
-import glob
 import os
 import subprocess
 
 import numpy as np
 import pytest
 
+from conftest import ESTEP_FIXTURES as FIXTURES
+from conftest import load_estep_fixture as load
 from em_adapt_tpu.ops.estep_oracle import estep_oracle
 
 NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
@@ -20,22 +21,6 @@ pytestmark = pytest.mark.skipif(
     subprocess.run(["which", "g++"], capture_output=True).returncode != 0,
     reason="no C++ toolchain",
 )
-
-FIXTURES = sorted(
-    glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "estep_*.npz"))
-)
-
-
-def load(path):
-    z = np.load(path)
-    kw = dict(
-        bg_p=float(z["bg_p"]),
-        fg_p=float(z["fg_p"]),
-        num_iter=int(z["num_iter"]),
-        suppress_others=bool(z["suppress"]),
-        margin_others=float(z["margin"]),
-    )
-    return z["scores"], z["label"], z["orders"], z["out"], kw
 
 
 @pytest.mark.parametrize("path", FIXTURES, ids=[os.path.basename(p) for p in FIXTURES])

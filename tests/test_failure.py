@@ -2,7 +2,6 @@
 
 import os
 import signal
-import threading
 import time
 
 import numpy as np
@@ -32,8 +31,11 @@ def test_watchdog_frozen():
 
 
 def test_graceful_shutdown_flag():
+    before = signal.getsignal(signal.SIGTERM)
     with GracefulShutdown() as s:
         assert not s.requested
+        # the context manager must have swapped in its own handler
+        assert signal.getsignal(signal.SIGTERM) is not before
         os.kill(os.getpid(), signal.SIGTERM)
         # handler runs synchronously in the main thread on delivery
         for _ in range(100):
@@ -41,12 +43,9 @@ def test_graceful_shutdown_flag():
                 break
             time.sleep(0.01)
         assert s.requested
-    # handlers restored
-    assert signal.getsignal(signal.SIGTERM) in (
-        signal.SIG_DFL,
-        signal.default_int_handler,
-        signal.Handlers.SIG_DFL,
-    ) or callable(signal.getsignal(signal.SIGTERM))
+    # __exit__ restores EXACTLY the pre-entry handler (not merely "some
+    # callable" — a stale GracefulShutdown._handler would be callable too)
+    assert signal.getsignal(signal.SIGTERM) is before
 
 
 def test_fit_saves_on_preemption(rng, tmp_path):

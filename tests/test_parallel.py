@@ -111,11 +111,9 @@ def test_dp_sp_tp_train_step_matches_dp_only(rng):
             assert "model" in str(state.params["fc6"]["w"].sharding.spec)
         return float(jax.device_get(m["loss"]))
 
-    import pytest as _pytest
-
     loss_dp = run((("data", 8), ("space", 1)))
     loss_tp = run((("data", 2), ("space", 2), ("model", 2)))
-    assert loss_dp == _pytest.approx(loss_tp, abs=2e-5)
+    assert loss_dp == pytest.approx(loss_tp, abs=2e-5)
 
 
 def test_place_state_restores_tp_sharding(rng):

@@ -29,12 +29,28 @@ def fixture_model():
     return params, jnp.asarray(z["x"])
 
 
-def test_weight_quantization_roundtrip_bound(fixture_model):
+@pytest.fixture(scope="module")
+def act_ranges(fixture_model):
+    """Calibration ranges for the fixture model, computed once: the
+    observe pass re-traces the full forward, which is real time on the
+    1-core suite host."""
+    params, x = fixture_model
+    return observe_activation_ranges(SMALL_CFG, params, [x])
+
+
+@pytest.fixture(scope="module")
+def quantized(fixture_model):
+    """(qmodel, qparams) for the fixture model, quantized once and shared
+    read-only by every agreement/compose/export test below."""
+    params, x = fixture_model
+    return quantize_model(SMALL_CFG, params, [x])
+
+
+def test_weight_quantization_roundtrip_bound(fixture_model, act_ranges):
     """Per-channel symmetric int8: |w - w8*s| <= s/2 elementwise, and the
     full [-127, 127] range is actually used per channel."""
     params, x = fixture_model
-    ranges = observe_activation_ranges(SMALL_CFG, params, [x])
-    q = quantize_params(params, ranges, SMALL_CFG)
+    q = quantize_params(params, act_ranges, SMALL_CFG)
     for name in ("conv1_1", "fc6", "fc8"):
         w = np.asarray(params[name]["w"], np.float32)
         w8 = np.asarray(q[name]["w8"])
@@ -47,24 +63,23 @@ def test_weight_quantization_roundtrip_bound(fixture_model):
         assert np.abs(w8).max() == 127
 
 
-def test_calibration_ranges_positive_and_complete(fixture_model):
+def test_calibration_ranges_positive_and_complete(fixture_model, act_ranges):
     params, x = fixture_model
-    ranges = observe_activation_ranges(SMALL_CFG, params, [x])
     from em_adapt_tpu.models.deeplab import layer_specs
 
-    assert set(ranges) == {n for n, *_ in layer_specs(SMALL_CFG)}
-    assert all(v > 0 for v in ranges.values())
+    assert set(act_ranges) == {n for n, *_ in layer_specs(SMALL_CFG)}
+    assert all(v > 0 for v in act_ranges.values())
     # conv1_1's range is the preprocessed image range
-    assert ranges["conv1_1"] == pytest.approx(float(jnp.max(jnp.abs(x))))
+    assert act_ranges["conv1_1"] == pytest.approx(float(jnp.max(jnp.abs(x))))
 
 
-def test_quantized_logits_close_and_labels_agree(fixture_model):
+def test_quantized_logits_close_and_labels_agree(fixture_model, quantized):
     """End-to-end PTQ quality on the fixture model: <8% relative logit
     error, >95% pixel label agreement (measured 4.0% / 98.1% — and this
     is an UNTRAINED random-weight model; trained models have larger
     argmax margins)."""
     params, x = fixture_model
-    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    qmodel, qparams = quantized
     model = DeepLabLargeFOV(SMALL_CFG)
     lg = model.apply(params, x, train=False)
     qlg = qmodel.apply(qparams, x)
@@ -74,20 +89,20 @@ def test_quantized_logits_close_and_labels_agree(fixture_model):
     assert agree["pixel_agreement"] > 0.95, agree
 
 
-def test_quantized_model_rejects_train(fixture_model):
+def test_quantized_model_rejects_train(fixture_model, quantized):
     params, x = fixture_model
-    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    qmodel, qparams = quantized
     with pytest.raises(ValueError, match="serving-only"):
         qmodel.apply(qparams, x, train=True)
 
 
-def test_quantized_model_composes_with_evaluator(fixture_model):
+def test_quantized_model_composes_with_evaluator(fixture_model, quantized):
     """QuantizedDeepLabLargeFOV duck-types the model for Evaluator."""
     from em_adapt_tpu.config import ExperimentConfig
     from em_adapt_tpu.eval.predict import Evaluator
 
     params, x = fixture_model
-    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    qmodel, qparams = quantized
     cfg = ExperimentConfig(model=SMALL_CFG)
     ev = Evaluator(cfg, qmodel)
     label = np.zeros(x.shape[:3] + (1,), np.float32)
@@ -96,7 +111,7 @@ def test_quantized_model_composes_with_evaluator(fixture_model):
     assert iou.shape == (SMALL_CFG.num_classes,)
 
 
-def test_quantized_model_composes_with_mesh_sharded_evaluator(fixture_model):
+def test_quantized_model_composes_with_mesh_sharded_evaluator(fixture_model, quantized):
     """int8 qparams (freshly calibrated -> committed to the default
     device) + Evaluator(plan=...): _ensure_params must replicate them
     onto the mesh and the sharded eval must match unsharded exactly at
@@ -108,7 +123,7 @@ def test_quantized_model_composes_with_mesh_sharded_evaluator(fixture_model):
     from em_adapt_tpu.parallel.mesh import make_mesh
 
     params, x = fixture_model
-    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    qmodel, qparams = quantized
     cfg = ExperimentConfig(model=SMALL_CFG, eval=EvalConfig(batch_size=2))
     plan = make_mesh(MeshConfig(axes=(("data", 8),)))
     x8 = np.concatenate([np.asarray(x)] * 4)  # batch 8 over 8 shards
@@ -120,7 +135,7 @@ def test_quantized_model_composes_with_mesh_sharded_evaluator(fixture_model):
     np.testing.assert_allclose(i8, i1, atol=1e-12)
 
 
-def test_quantized_export_roundtrip(fixture_model):
+def test_quantized_export_roundtrip(fixture_model, quantized):
     """An int8 StableHLO serving artifact: export_predict_fn over the
     quantized model serializes and reproduces the live quantized
     predictions exactly."""
@@ -128,7 +143,7 @@ def test_quantized_export_roundtrip(fixture_model):
     from em_adapt_tpu.eval.export import export_predict_fn, load_predict_fn
 
     params, x = fixture_model
-    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    qmodel, qparams = quantized
     cfg = ExperimentConfig(model=SMALL_CFG, eval=EvalConfig(batch_size=2))
     fn = load_predict_fn(export_predict_fn(cfg, qmodel, qparams))
     _, pred = fn(x)
@@ -136,14 +151,14 @@ def test_quantized_export_roundtrip(fixture_model):
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(live_pred))
 
 
-def test_quantized_predict_shards_over_data_mesh(fixture_model):
+def test_quantized_predict_shards_over_data_mesh(fixture_model, quantized):
     """The int8 serving path is plain XLA (s8 convs, no pallas), so GSPMD
     shards it over a data-parallel mesh with no special casing: batch
     sharded over 8 fake devices == single-device result."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     params, x = fixture_model
-    qmodel, qparams = quantize_model(SMALL_CFG, params, [x])
+    qmodel, qparams = quantized
     x8 = jnp.concatenate([x] * 4)  # batch 8 over 8 devices
     ref = jax.device_get(qmodel.predict(qparams, x8)[1])
 

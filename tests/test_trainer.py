@@ -376,14 +376,38 @@ def test_train_step_decreases_loss_on_mesh(rng):
 
 
 def test_loss_fn_gradients_dont_flow_through_estep(rng):
-    """EM semantics: the E-step target is constant w.r.t. params. If grads
-    leaked through the argmax/bias path, grad of CE w.r.t. a constant input
-    image would be wrong; we check grads exist and are finite, and that
-    the weak-label targets used are integers (stop-gradient path)."""
+    """EM semantics: the E-step target is constant w.r.t. params
+    (reference deeplab.py:120 wraps the py_func output — no gradient).
+    Pinned directly: grad of ANY scalar function of the E-step target
+    w.r.t. params is exactly zero (zero-cotangent property — would catch
+    a refactor to soft/float targets that leaks the bias path), the
+    target dtype is integer, and the full loss still has finite,
+    nonzero grads through the logits path."""
+    from em_adapt_tpu.ops.estep import estep_labels, make_class_orders
+    from em_adapt_tpu.ops.resize import resize_nearest_tf
+
     cfg = tiny_cfg()
     model = DeepLabLargeFOV(cfg.model)
     params = model.init(jax.random.key(0))
     batch = jax.tree.map(jnp.asarray, tiny_batch(rng))
+    drop_rng, order_rng = jax.random.split(jax.random.key(1))
+    orders = make_class_orders(order_rng, cfg.estep.num_iter,
+                               cfg.model.num_classes)
+
+    def target_mean(p):
+        logits = model.apply(p, batch["image"], train=True, rng=drop_rng)
+        shrunk = resize_nearest_tf(
+            batch["label"], (logits.shape[1], logits.shape[2])
+        )[..., 0]
+        weak = estep_labels(logits, shrunk, orders, cfg.estep)
+        assert jnp.issubdtype(weak.dtype, jnp.integer), weak.dtype
+        return jnp.mean(weak.astype(jnp.float32))
+
+    target_grads = jax.grad(target_mean)(params)
+    assert all(
+        float(jnp.abs(g).max()) == 0.0 for g in jax.tree.leaves(target_grads)
+    ), "E-step target leaked a gradient back to params"
+
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         params, batch, jax.random.key(1), model, cfg
     )
@@ -890,6 +914,7 @@ def test_warm_start_params_only(rng, tmp_path):
     assert np.isfinite(float(jax.device_get(m["loss"])))
     assert int(jax.device_get(warm.step)) == 1
     trainer.checkpointer.close()
+    trainer2.checkpointer.close()
 
 
 def test_warm_start_across_optimizer_change(rng, tmp_path):
