@@ -7,6 +7,7 @@ Also runs an ASan/UBSan build over multi-batch inputs — the class of bug
 import ctypes
 import os
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -154,6 +155,6 @@ print("ASAN_OK")
     asan_rt = find.stdout.strip()
     env = dict(os.environ, LD_PRELOAD=asan_rt, ASAN_OPTIONS="detect_leaks=0")
     r = subprocess.run(
-        ["python", str(driver)], capture_output=True, text=True, env=env
+        [sys.executable, str(driver)], capture_output=True, text=True, env=env
     )
     assert "ASAN_OK" in r.stdout, r.stdout + r.stderr

@@ -8,6 +8,7 @@ binding edge cases.
 
 import os
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -101,7 +102,7 @@ print("ASAN_OK")
     env = dict(os.environ, LD_PRELOAD=find.stdout.strip(),
                ASAN_OPTIONS="detect_leaks=0")
     r = subprocess.run(
-        ["python", str(driver)], capture_output=True, text=True, env=env
+        [sys.executable, str(driver)], capture_output=True, text=True, env=env
     )
     assert "ASAN_OK" in r.stdout, r.stdout + r.stderr
 
@@ -151,6 +152,6 @@ print("TINY_OK")
     env = dict(os.environ, LD_PRELOAD=find.stdout.strip(),
                ASAN_OPTIONS="detect_leaks=0")
     r = subprocess.run(
-        ["python", str(driver)], capture_output=True, text=True, env=env
+        [sys.executable, str(driver)], capture_output=True, text=True, env=env
     )
     assert "TINY_OK" in r.stdout, r.stdout + r.stderr
