@@ -1,0 +1,332 @@
+"""Full reference-schedule rehearsal: 40 epochs, 3 LR drops, preempt+resume.
+
+The reference's production run shape (reference deeplab.py:242-285) is 40
+epochs (~70k steps) through three 10x LR drops at epochs 10/20/30 with
+"lr" snapshots at each boundary (deeplab.py:248,:254,:260), rolling
+"norm" checkpoints every 6000 steps (deeplab.py:277-278), and periodic
+loss logging (deeplab.py:273). Every one of those cadences is unit-tested
+in isolation here; this tool is the only place they all run TOGETHER at
+schedule scale — the closest legal proxy to the unexecutable 37.98% VOC
+run (no VOC/init.npy in this environment; round-3 VERDICT "missing #1").
+
+Protocol (miniature, proportionally scaled — one real TPU chip, ~25 min):
+
+* `em-adapt train --synthetic 768 --synthetic-learnable` at 129x129,
+  4 classes, batch 8 -> 96 steps/epoch, 40 epochs = 3840 steps.
+* The reference recipe's cadences scaled by the same ~18x: LR drops at
+  steps 960/1920/2880 (epochs 10/20/30), "norm" saves every 384 steps
+  (6000/70k of the run), logs every 96 (one per epoch), VOC-protocol
+  eval + "best" race every 192 steps.
+* `--strong-fraction 0.15` (semi-supervised EM, BASELINE.json config #4):
+  the reference ALWAYS warm-starts from the ImageNet-pretrained init.npy,
+  whose classification prior is what makes its E-step informative from
+  step one; from RANDOM init EM's symmetry-breaking step is heavy-tailed
+  (~250..4000, CONVERGENCE_LATE_LOCK.json) and would race the epoch-10
+  LR drop. The small strong subset plays the same role the pretrained
+  prior does — break the symmetry at step 0 — while 85% of images still
+  train through the weak-tag E-step.
+* THREE arms through the real CLI: a CONTROL run to completion; a
+  PREEMPT arm SIGTERM'd mid-run (between drops 1 and 2, after several
+  norm saves and evals — exercising the GracefulShutdown uniform-flag
+  save); a RESUME arm (`--resume`) that must continue the loss stream
+  BIT-EXACTLY (identical JSONL losses at every common step, identical
+  best-metric sidecar at the end).
+
+Artifact: SCHEDULE_REHEARSAL.json (committed; tests/test_schedule.py
+recomputes every contract from the recorded streams). Contracts:
+  * control vs preempt+resume losses bit-equal at every common step;
+  * "lr" snapshot checkpoints at exactly {960, 1920, 2880};
+  * logged LR follows the staged schedule exactly;
+  * best-checkpoint step == first step of the val-curve maximum, in both
+    lineages, with bit-equal best metric values;
+  * the run learns (peak mIoU well above the ~0.19 all-background floor).
+
+Usage: python tools/schedule_rehearsal.py [--out SCHEDULE_REHEARSAL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+STEPS_PER_EPOCH = 96          # 768 images / batch 8
+EPOCHS = 40
+TOTAL_STEPS = STEPS_PER_EPOCH * EPOCHS            # 3840
+LR_DROP_STEPS = (960, 1920, 2880)                 # epochs 10/20/30
+LR_STAGES = (1e-3, 1e-4, 1e-5, 1e-6)
+NORM_EVERY = 384
+LOG_EVERY = 96
+EVAL_EVERY = 192
+PREEMPT_AFTER_STEP = 1632     # between drop 1 (960) and drop 2 (1920)
+
+
+def _train_cmd(save_dir: str, jsonl: str, *extra: str) -> list[str]:
+    return [
+        sys.executable, "-m", "em_adapt_tpu.cli", "train",
+        "--synthetic", "768", "--synthetic-learnable",
+        "--synthetic-val", "48", "--strong-fraction", "0.15",
+        "--log-jsonl", jsonl,
+        *extra,
+        "model.num_classes=4", "model.input_size=(129,129)",
+        "model.fc6_channels=64", "model.init_scheme=he",
+        "optim.accum_steps=1",
+        "data.num_workers=2", "data.random_scale=false",
+        "train.batch_size=8", f"train.epochs={EPOCHS}",
+        f"train.log_every_steps={LOG_EVERY}",
+        f"train.eval_every_steps={EVAL_EVERY}", "train.eval_protocol=voc",
+        "train.macro_steps=8", "train.calibrate_estep=false",
+        f"checkpoint.save_dir={save_dir}",
+        f"checkpoint.save_every_steps={NORM_EVERY}",
+    ]
+
+
+def _read_jsonl(path: str) -> list[dict]:
+    records = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+    return records
+
+
+def _loss_stream(records: list[dict]) -> dict[int, float]:
+    return {r["step"]: r["loss"] for r in records if "loss" in r}
+
+
+def _lr_stream(records: list[dict]) -> dict[int, float]:
+    return {r["step"]: r["lr"] for r in records if "lr" in r}
+
+
+def _val_stream(records: list[dict]) -> list[tuple[int, float]]:
+    return [(r["step"], r["val_metric"]) for r in records
+            if "val_metric" in r]
+
+
+def expected_lr(step: int) -> float:
+    """LR of executed step ``step`` under the miniature staged schedule
+    (the JSONL logs the LAST EXECUTED step's LR, i.e. lr_at(step-1))."""
+    stage = sum(step > s for s in LR_DROP_STEPS)
+    return LR_STAGES[stage]
+
+
+def _ckpt_steps(save_dir: str, tag: str) -> list[int]:
+    path = os.path.join(save_dir, tag)
+    if not os.path.isdir(path):
+        return []
+    steps = []
+    for name in os.listdir(path):
+        if name.isdigit():
+            steps.append(int(name))
+    return sorted(steps)
+
+
+def _first_argmax(curve: list[tuple[int, float]]) -> tuple[int, float]:
+    """The trainer's best race uses strict '>': ties keep the FIRST max."""
+    best_step, best = curve[0]
+    for step, v in curve[1:]:
+        if v > best:
+            best_step, best = step, v
+    return best_step, best
+
+
+def _run(cmd: list[str], log, timeout: float = 3600,
+         preempt_jsonl: str | None = None) -> tuple[int, float]:
+    """Run one CLI arm; with ``preempt_jsonl``, SIGTERM the process once
+    its JSONL reports a step >= PREEMPT_AFTER_STEP (the log cadence makes
+    that a mid-run point with several saves and evals already behind it).
+    Returns (returncode, elapsed_sec)."""
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    sent = False
+    lines: list[str] = []
+    import threading
+
+    def _pump():
+        for line in proc.stdout:
+            lines.append(line)
+            log("  | " + line.rstrip())
+
+    pump = threading.Thread(target=_pump, daemon=True)
+    pump.start()
+    while proc.poll() is None:
+        if time.time() - t0 > timeout:
+            proc.kill()
+            raise RuntimeError(f"arm timed out after {timeout}s: {cmd}")
+        if preempt_jsonl and not sent and os.path.exists(preempt_jsonl):
+            try:
+                steps = [r["step"] for r in _read_jsonl(preempt_jsonl)
+                         if "step" in r]
+            except json.JSONDecodeError:
+                steps = []  # a record mid-write; retry next poll
+            if steps and max(steps) >= PREEMPT_AFTER_STEP:
+                log(f"  -> SIGTERM at logged step {max(steps)}")
+                proc.send_signal(signal.SIGTERM)
+                sent = True
+        time.sleep(2.0)
+    pump.join(timeout=10)
+    if preempt_jsonl and not sent:
+        raise RuntimeError("preempt arm finished before the SIGTERM "
+                           "trigger step was reached")
+    return proc.returncode, time.time() - t0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="SCHEDULE_REHEARSAL.json")
+    ap.add_argument("--workdir", default=None,
+                    help="keep run dirs here (default: fresh tempdir)")
+    args = ap.parse_args(argv)
+    work = args.workdir or tempfile.mkdtemp(prefix="em_schedule_")
+    os.makedirs(work, exist_ok=True)
+
+    def log(msg: str) -> None:
+        print(msg, flush=True)
+
+    t0 = time.time()
+    dir_c = os.path.join(work, "control")
+    dir_p = os.path.join(work, "preempt")
+    jl_c = os.path.join(work, "control.jsonl")
+    jl_p1 = os.path.join(work, "preempt_phase1.jsonl")
+    jl_p2 = os.path.join(work, "preempt_phase2.jsonl")
+
+    log(f"workdir: {work}")
+    log("=== arm 1/3: control (uninterrupted, 3840 steps) ===")
+    rc, t_c = _run(_train_cmd(dir_c, jl_c), log)
+    if rc != 0:
+        raise RuntimeError(f"control arm failed with rc={rc}")
+    log(f"control done in {t_c:.0f}s")
+
+    log("=== arm 2/3: preempt (SIGTERM mid-run) ===")
+    rc, t_p1 = _run(_train_cmd(dir_p, jl_p1), log, preempt_jsonl=jl_p1)
+    if rc != 0:
+        raise RuntimeError(f"preempt arm failed with rc={rc}")
+    resume_step = max(_ckpt_steps(dir_p, "norm"))
+    log(f"preempted cleanly in {t_p1:.0f}s; norm checkpoint at "
+        f"step {resume_step}")
+
+    log("=== arm 3/3: resume (--resume, to completion) ===")
+    rc, t_p2 = _run(_train_cmd(dir_p, jl_p2, "--resume"), log)
+    if rc != 0:
+        raise RuntimeError(f"resume arm failed with rc={rc}")
+    log(f"resume done in {t_p2:.0f}s")
+
+    rec_c = _read_jsonl(jl_c)
+    rec_p1 = _read_jsonl(jl_p1)
+    rec_p2 = _read_jsonl(jl_p2)
+    loss_c = _loss_stream(rec_c)
+    loss_p = {**_loss_stream(rec_p1), **_loss_stream(rec_p2)}
+    common = sorted(set(loss_c) & set(loss_p))
+    post_resume = [s for s in common if s > resume_step]
+    mismatches = [
+        {"step": s, "control": loss_c[s], "preempt": loss_p[s]}
+        for s in common if loss_c[s] != loss_p[s]
+    ]
+
+    lr_c = _lr_stream(rec_c)
+    lr_errors = [
+        {"step": s, "logged": lr, "expected": expected_lr(s)}
+        for s, lr in sorted(lr_c.items()) if lr != expected_lr(s)
+    ]
+
+    val_c = _val_stream(rec_c)
+    val_p = _val_stream(rec_p1) + _val_stream(rec_p2)
+    best_step_c, best_val_c = _first_argmax(val_c)
+    best_step_p, best_val_p = _first_argmax(val_p)
+
+    def _sidecar(d):
+        with open(os.path.join(d, "best_metric.json")) as f:
+            return json.load(f)
+
+    side_c, side_p = _sidecar(dir_c), _sidecar(dir_p)
+
+    lr_snaps_c = _ckpt_steps(dir_c, "lr")
+    lr_snaps_p = _ckpt_steps(dir_p, "lr")
+    norm_c = _ckpt_steps(dir_c, "norm")
+
+    checks = {
+        # bit-exact resume: every common logged loss identical, with real
+        # post-resume overlap (not just the shared prefix)
+        "losses_bitexact": not mismatches,
+        "post_resume_overlap_records": len(post_resume),
+        "post_resume_overlap_ok": len(post_resume) >= 15,
+        # three exact-boundary "lr" snapshots in BOTH lineages (the
+        # preempt lineage re-hits drops 2 and 3 after resume)
+        "lr_snapshots_control": lr_snaps_c,
+        "lr_snapshots_preempt": lr_snaps_p,
+        "lr_snapshots_ok": (
+            lr_snaps_c == list(LR_DROP_STEPS)
+            and lr_snaps_p == list(LR_DROP_STEPS)
+        ),
+        # the logged LR walks the staged schedule exactly
+        "lr_schedule_errors": lr_errors,
+        "lr_schedule_ok": not lr_errors,
+        # the best race picks the val-curve peak, identically in both
+        # lineages (sidecar step == first argmax of the recorded curve)
+        "best_sidecar_control": side_c,
+        "best_sidecar_preempt": side_p,
+        "best_race_ok": (
+            side_c["step"] == best_step_c
+            and side_p["step"] == best_step_p
+            and side_c["metric"] == best_val_c
+            and side_p["metric"] == best_val_p
+        ),
+        "best_lineages_identical": (
+            side_c["step"] == side_p["step"]
+            and side_c["metric"] == side_p["metric"]
+        ),
+        # rolling norm retention (max_to_keep=2) + the final save at 3840
+        "norm_steps_control": norm_c,
+        "norm_retention_ok": (
+            len(norm_c) <= 2 and norm_c[-1] == TOTAL_STEPS
+        ),
+        # the schedule run learns: peak well above the ~0.19
+        # all-background floor, final consolidated near the peak
+        "peak_miou": best_val_c,
+        "final_miou": val_c[-1][1],
+        "learning_ok": best_val_c >= 0.30 and val_c[-1][1] >= best_val_c - 0.06,
+    }
+    result = {
+        "task": "miniature reference 40-epoch schedule rehearsal "
+                "(LearnableSyntheticVOC, semi-supervised 15% strong, "
+                "preempt+resume)",
+        "total_steps": TOTAL_STEPS,
+        "steps_per_epoch": STEPS_PER_EPOCH,
+        "lr_drop_steps": list(LR_DROP_STEPS),
+        "norm_every": NORM_EVERY,
+        "eval_every": EVAL_EVERY,
+        "log_every": LOG_EVERY,
+        "preempt_trigger_step": PREEMPT_AFTER_STEP,
+        "resume_step": resume_step,
+        "loss_stream_control": sorted(loss_c.items()),
+        "loss_stream_preempt": sorted(loss_p.items()),
+        "loss_mismatches": mismatches,
+        "val_curve_control": val_c,
+        "val_curve_preempt": val_p,
+        "checks": checks,
+        "elapsed_sec": {"control": round(t_c, 1),
+                        "preempt": round(t_p1, 1),
+                        "resume": round(t_p2, 1),
+                        "total": round(time.time() - t0, 1)},
+        "workdir": work,
+    }
+    result["pass"] = all(
+        checks[k] for k in checks if k.endswith("_ok")
+    ) and checks["losses_bitexact"] and checks["best_lineages_identical"]
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    log(json.dumps({k: v for k, v in checks.items()
+                    if not isinstance(v, list)}, indent=1))
+    log(f"pass={result['pass']} -> {args.out}")
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
