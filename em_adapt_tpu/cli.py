@@ -478,8 +478,13 @@ def cmd_train(args) -> int:
                   f"(impl={cfg.estep.impl}, batch={cfg.train.batch_size})")
         if logger is not None:
             def log_fn(m, _logger=logger, _v=estep_us):
+                # _calib suffix: this is the startup CALIBRATION constant
+                # (one measurement of the deployed E-step impl at this
+                # run's shape), not a live per-step timing — per-step
+                # device timing would need a profiler trace
+                # (tools/profile_step.py), not a scalar fetch.
                 if "loss" in m:
-                    m = {**m, "estep_us_per_image": _v}
+                    m = {**m, "estep_us_per_image_calib": _v}
                 _logger(m)
 
     batches = batch_iterator(

@@ -138,9 +138,10 @@ def test_train_cli_production_knobs(voc_tree, tmp_path):
     assert recs and all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
     assert recs[-1]["step"] == 4
     # BASELINE.md observability: every train record carries the measured
-    # E-step µs/image (train.calibrate_estep default)
+    # E-step µs/image startup-calibration constant
+    # (train.calibrate_estep default; _calib = not a live per-step timing)
     assert all(
-        r["estep_us_per_image"] > 0 for r in recs if "loss" in r
+        r["estep_us_per_image_calib"] > 0 for r in recs if "loss" in r
     ), recs
 
 
