@@ -33,17 +33,23 @@ def test_committed_rehearsal_artifact_passes():
     assert r["peak_miou"] >= 0.26
     assert r["peak_mean_fg_iou"] >= 0.15
     assert r["final_miou"] >= 0.24
+    # refine consolidation (round-4 tightening): the phase-2 warm-start
+    # fine-tune must END within 0.03 of the peak it restored
+    assert r["final_miou"] >= r["peak_miou"] - 0.03
     assert r["final_miou"] > r["init_miou"]
     # best-of-N protocol (EM from random init locks at a HEAVY-TAILED
     # step — the init lottery and ulp-level numeric perturbations move
     # the abrupt label-locking anywhere in ~250..4000 steps, see
     # CONVERGENCE_LATE_LOCK.json; the reference's production workflow
     # always warm-starts from ImageNet features, which locks
-    # immediately): every seed is recorded and a MAJORITY of
-    # trajectories must lock onto the foreground colors in-window.
+    # immediately): every seed is recorded, the window covers the
+    # measured lock-time tail (round 4: 4000 steps), and at least 4 of
+    # 5 trajectories must lock in-window (round 3 required a simple
+    # majority over a 2500-step window).
     assert len(r["seeds"]) >= 5
+    assert r["steps"] >= 4000
     locked = [s for s in r["seeds"] if s["peak_miou"] >= 0.23]
-    assert 2 * len(locked) > len(r["seeds"])
+    assert len(locked) >= -(-4 * len(r["seeds"]) // 5)
 
 
 def test_committed_ablation_artifact_shows_bias_drives_lift():
@@ -64,12 +70,19 @@ def test_committed_ablation_artifact_shows_bias_drives_lift():
 
 
 def test_committed_em_fixed_artifact_shows_adaptive_bias_is_load_bearing():
-    """The EM-Fixed comparison arm (estep.method='fixed', arXiv:1502.02734
-    §3.3) swept over bias scales must stay in the trivial range from
-    random init on every setting — its constant bias lacks the per-image
-    scale adaptation that lets EM-Adapt bootstrap (the paper reports
-    EM-Fixed far weaker even WITH pretrained features: 20.8 vs 38.2) —
-    while the variant itself trains stably end-to-end."""
+    """The EM-Fixed variant (estep.method='fixed', arXiv:1502.02734 §3.3)
+    in BOTH regimes (round-4 protocol). From RANDOM init, every bias
+    scale stays in the trivial range — the constant bias lacks the
+    per-image scale adaptation that lets EM-Adapt bootstrap from
+    nothing. WARM-STARTED from a partially-trained EM-Adapt best
+    checkpoint (the paper's actual regime: EM-Fixed is only ever
+    reported from pretrained features, Table 1: 20.8 vs 38.2), the
+    probe's verdict is recorded either way: retention, or the measured
+    erosion with a mechanism analysis (the constant logit-unit bias
+    loses calibration as the logit spread grows; the rank-based
+    adaptive threshold is the self-calibrating mechanism). Either
+    outcome pins that the fixed path trains stably end-to-end and that
+    the ADAPTIVE mechanism is the load-bearing one."""
     fixed = os.path.join(REPO, "CONVERGENCE_FIXED.json")
     assert os.path.exists(fixed), (
         "run tools/convergence_rehearsal.py --mode fixed on TPU"
@@ -80,11 +93,26 @@ def test_committed_em_fixed_artifact_shows_adaptive_bias_is_load_bearing():
         r = json.load(f)
     assert x["pass"] is True
     assert x["estep_method"] == "fixed"
+    # regime 1: cold sweep stays trivial at every bias scale
     assert len(x["bias_sweep"]) >= 3
     assert all(arm["peak_miou"] < 0.24 for arm in x["bias_sweep"])
     assert r["peak_miou"] - max(
         arm["peak_miou"] for arm in x["bias_sweep"]
     ) >= 0.04
+    # regime 2: warm-started probe from a real prior, verdict recorded
+    # on the FINAL state (a peak criterion would mistake slow erosion
+    # for retention — the first post-restore eval still IS the prior)
+    assert x["prior"]["peak_miou"] >= 0.26
+    assert len(x["warm_start_sweep"]) >= 3
+    assert isinstance(x["warm_start_retains"], bool)
+    if x["warm_start_retains"]:
+        assert x["warm_start_best_final"] >= 0.23
+    else:
+        # the documented negative: every bias scale must actually show
+        # the decay-to-trivial the analysis describes, and the
+        # mechanism note must be in the artifact
+        assert all(a["final_miou"] < 0.24 for a in x["warm_start_sweep"])
+        assert "erodes" in x["warm_start_verdict"]
     assert x["aborted_by_watchdog"] is None
 
 
