@@ -327,3 +327,38 @@ def test_fold_preset_resolves_auto_data_axis():
     cfg4 = ExperimentConfig(mesh=MeshConfig(
         axes=(("data", -1), ("space", 3))))
     assert _resolved_data_axis(cfg4, 8) == 1
+
+
+def test_train_cli_synthetic_learnable_with_strong_and_eval(tmp_path):
+    """The schedule-rehearsal CLI surface: --synthetic-learnable routes
+    training AND the periodic-eval val set to LearnableSyntheticVOC
+    (blob size following data.input_size), --synthetic-val sizes the val
+    set, and --strong-fraction flips on semi-supervised EM over it."""
+    import json
+
+    from em_adapt_tpu import cli
+
+    log = tmp_path / "learn.jsonl"
+    rc = cli.main([
+        "train", "--synthetic", "16", "--synthetic-learnable",
+        "--synthetic-val", "4", "--strong-fraction", "0.25",
+        "--steps", "4", "--log-jsonl", str(log),
+        "model.num_classes=4", "model.input_size=(33,33)",
+        "model.fc6_channels=8", "model.init_scheme=he",
+        "data.input_size=(33,33)", "data.num_workers=2",
+        "estep.num_iter=2", "optim.accum_steps=1",
+        "train.batch_size=8", "train.log_every_steps=2",
+        "train.eval_every_steps=2", "train.eval_protocol=voc",
+        "train.calibrate_estep=false",
+        f"checkpoint.save_dir={tmp_path / 'saver'}",
+        "checkpoint.save_every_steps=1000000", "checkpoint.async_save=False",
+    ])
+    assert rc == 0
+    recs = [json.loads(line) for line in open(log)]
+    assert any("val_metric" in r for r in recs), recs
+    import numpy as np
+
+    assert all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
+    # the best race ran over the learnable val set
+    best = tmp_path / "saver" / "best"
+    assert best.is_dir() and any(p.isdigit() for p in os.listdir(best))
