@@ -17,14 +17,20 @@ import os
 
 import pytest
 
-ART = os.path.join(os.path.dirname(__file__), "..", "SCHEDULE_REHEARSAL.json")
+REPO = os.path.join(os.path.dirname(__file__), "..")
+# The same contract set is proven under the reference recipe AND under
+# the production performance levers (bf16 compute, rbg hardware RNG,
+# uint8 wire, host-shrunk labels — exactly the levers that could break
+# bit-exact resume; tools/schedule_rehearsal.py --knobs tpu-perf).
+ARTIFACTS = ("SCHEDULE_REHEARSAL.json", "SCHEDULE_REHEARSAL_PERF.json")
 
 
-@pytest.fixture(scope="module")
-def art():
-    if not os.path.exists(ART):
-        pytest.skip("SCHEDULE_REHEARSAL.json not generated yet")
-    with open(ART) as f:
+@pytest.fixture(scope="module", params=ARTIFACTS)
+def art(request):
+    path = os.path.join(REPO, request.param)
+    if not os.path.exists(path):
+        pytest.skip(f"{request.param} not generated yet")
+    with open(path) as f:
         return json.load(f)
 
 

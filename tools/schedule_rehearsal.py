@@ -66,7 +66,23 @@ EVAL_EVERY = 192
 PREEMPT_AFTER_STEP = 1632     # between drop 1 (960) and drop 2 (1920)
 
 
-def _train_cmd(save_dir: str, jsonl: str, *extra: str) -> list[str]:
+#: The production performance levers (the tpu-perf preset's knobs sized
+#: for the 129² rehearsal geometry — score map 17², not 321²'s 41²).
+#: These are exactly the levers that could plausibly break bit-exact
+#: resume: bf16 MXU compute, the TPU hardware RNG whose key must restore
+#: through the checkpoint, the uint8 wire with on-device normalization,
+#: and host-shrunk score-map labels. --knobs tpu-perf proves the
+#: preemption contract holds under all of them at once.
+TPU_PERF_KNOBS = (
+    "model.compute_dtype=bfloat16",
+    "train.rng_impl=rbg",
+    "data.wire_dtype=uint8",
+    "data.train_label_size=(17,17)",
+)
+
+
+def _train_cmd(save_dir: str, jsonl: str, *extra: str,
+               knobs: tuple = ()) -> list[str]:
     return [
         sys.executable, "-m", "em_adapt_tpu.cli", "train",
         "--synthetic", "768", "--synthetic-learnable",
@@ -83,6 +99,7 @@ def _train_cmd(save_dir: str, jsonl: str, *extra: str) -> list[str]:
         "train.macro_steps=8", "train.calibrate_estep=false",
         f"checkpoint.save_dir={save_dir}",
         f"checkpoint.save_every_steps={NORM_EVERY}",
+        *knobs,
     ]
 
 
@@ -180,10 +197,21 @@ def _run(cmd: list[str], log, timeout: float = 3600,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", default="SCHEDULE_REHEARSAL.json")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default=None,
                     help="keep run dirs here (default: fresh tempdir)")
+    ap.add_argument("--knobs", choices=("reference", "tpu-perf"),
+                    default="reference",
+                    help="'tpu-perf' re-proves the preempt/resume "
+                         "bit-exactness contract under the production "
+                         "performance levers (bf16 compute, rbg hardware "
+                         "RNG, uint8 wire, host-shrunk labels) — see "
+                         "TPU_PERF_KNOBS")
     args = ap.parse_args(argv)
+    knobs = TPU_PERF_KNOBS if args.knobs == "tpu-perf" else ()
+    if args.out is None:
+        args.out = ("SCHEDULE_REHEARSAL_PERF.json"
+                    if args.knobs == "tpu-perf" else "SCHEDULE_REHEARSAL.json")
     work = args.workdir or tempfile.mkdtemp(prefix="em_schedule_")
     os.makedirs(work, exist_ok=True)
 
@@ -199,13 +227,13 @@ def main(argv=None) -> int:
 
     log(f"workdir: {work}")
     log("=== arm 1/3: control (uninterrupted, 3840 steps) ===")
-    rc, t_c = _run(_train_cmd(dir_c, jl_c), log)
+    rc, t_c = _run(_train_cmd(dir_c, jl_c, knobs=knobs), log)
     if rc != 0:
         raise RuntimeError(f"control arm failed with rc={rc}")
     log(f"control done in {t_c:.0f}s")
 
     log("=== arm 2/3: preempt (SIGTERM mid-run) ===")
-    rc, t_p1 = _run(_train_cmd(dir_p, jl_p1), log, preempt_jsonl=jl_p1)
+    rc, t_p1 = _run(_train_cmd(dir_p, jl_p1, knobs=knobs), log, preempt_jsonl=jl_p1)
     if rc != 0:
         raise RuntimeError(f"preempt arm failed with rc={rc}")
     resume_step = max(_ckpt_steps(dir_p, "norm"))
@@ -213,7 +241,7 @@ def main(argv=None) -> int:
         f"step {resume_step}")
 
     log("=== arm 3/3: resume (--resume, to completion) ===")
-    rc, t_p2 = _run(_train_cmd(dir_p, jl_p2, "--resume"), log)
+    rc, t_p2 = _run(_train_cmd(dir_p, jl_p2, "--resume", knobs=knobs), log)
     if rc != 0:
         raise RuntimeError(f"resume arm failed with rc={rc}")
     log(f"resume done in {t_p2:.0f}s")
@@ -304,6 +332,7 @@ def main(argv=None) -> int:
         "eval_every": EVAL_EVERY,
         "log_every": LOG_EVERY,
         "preempt_trigger_step": PREEMPT_AFTER_STEP,
+        "knobs": args.knobs,
         "resume_step": resume_step,
         "loss_stream_control": sorted(loss_c.items()),
         "loss_stream_preempt": sorted(loss_p.items()),
