@@ -435,22 +435,22 @@ def cmd_train(args) -> int:
             if jax.process_count() > 1:
                 # Cross-process reduction of the integer partial matrices
                 # (see the protocol comment above). Without x64, jax
-                # would silently demote int64 — transfer in int32 with an
-                # explicit overflow guard (a single cell holds at most
-                # the shard's pixel count; VOC val is ~3.6e8 << 2^31).
+                # silently demotes int64, so the int64 matrix travels as
+                # two int32 halves (lo 31 bits / hi) — exact for any
+                # pixel count, and with no data-dependent branch: every
+                # process enters the collective unconditionally (a
+                # per-shard guard could raise on ONE process and
+                # deadlock the rest at the allgather barrier).
                 import numpy as np
                 from jax.experimental import multihost_utils
 
-                if cm.max() > np.iinfo(np.int32).max:
-                    raise OverflowError(
-                        "per-shard confusion cell exceeds int32; shard "
-                        "the val set further or reduce eval cadence"
-                    )
-                cm = np.asarray(
-                    multihost_utils.process_allgather(
-                        cm.astype(np.int32)
-                    )
-                ).astype(np.int64).sum(axis=0)
+                lo = (cm % (1 << 31)).astype(np.int32)
+                hi = (cm >> 31).astype(np.int32)
+                glo, ghi = multihost_utils.process_allgather((lo, hi))
+                cm = (
+                    np.asarray(glo).astype(np.int64)
+                    + (np.asarray(ghi).astype(np.int64) << 31)
+                ).sum(axis=0)
             from em_adapt_tpu.eval.miou import miou_from_confusion
 
             miou, _ = miou_from_confusion(cm)

@@ -57,10 +57,10 @@ def test_committed_production_compile_artifact():
         assert arm["input"] == [321, 321]
         assert arm["fc6_channels"] == 4096 and arm["num_classes"] == 21
         assert arm["compile_ok"] is True
-        assert arm["collectives"]["all-reduce"] >= 1
+        assert arm["collectives"]["all-reduce"]["count"] >= 1
         if arm["mesh"]["space"] > 1:
             # spatial sharding must really exchange halos
-            assert arm["collectives"]["collective-permute"] >= 1
+            assert arm["collectives"]["collective-permute"]["count"] >= 1
 
 
 def test_committed_spatial_characterization_artifact():

@@ -93,8 +93,14 @@ def main(argv=None) -> int:
     params = state.params
     model = trainer.model
 
-    val_ds = LearnableSyntheticVOC(n=args.val_images, num_classes=4, seed=0,
-                                   category="val", image_size=size)
+    # Measurement set DISJOINT from any selection set: both checkpoint
+    # sources (the schedule rehearsal and run_rehearsal) pick their
+    # "best" on the seed-0 val stream, so scoring the absolute mIoU
+    # floor there would be partly selection-biased. seed=777 draws a
+    # fresh val stream (review finding, round 4).
+    val_ds = LearnableSyntheticVOC(n=args.val_images, num_classes=4,
+                                   seed=777, category="val",
+                                   image_size=size)
     ev = Evaluator(cfg, model)
 
     def timed(fn):

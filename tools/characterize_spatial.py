@@ -9,14 +9,14 @@ tests/test_parallel.py) but round-3 VERDICT weak #8 noted it ships with
 zero guidance: when does space>1 actually pay?
 
 With one real chip, the honest characterization is the virtual-CPU-mesh
-COMPILE of the production model (321²/21-class/fc6-4096, bf16, batch 6
-per data shard — the same object dryrun_production validates): the
-post-SPMD executable yields, per configuration,
+COMPILE of the production model (`__graft_entry__.compile_production_step`
+— the SAME harness behind MULTICHIP_PRODUCTION.json, so both artifacts
+measure the same object): per configuration it yields
 
 * per-device peak memory (XLA memory_analysis: temp + argument bytes) —
   the thing spatial sharding exists to reduce;
 * the halo traffic XLA inserted (collective-permute count and payload
-  bytes summed over the HLO) — the thing it costs per step.
+  bytes summed over the post-SPMD HLO) — the thing it costs per step.
 
 Each (input, space) arm compiles in its own subprocess (the virtual
 device count is fixed at backend init). Output: SPATIAL.json + a
@@ -30,112 +30,23 @@ from __future__ import annotations
 
 import argparse
 import json
-import re
+import os
 import subprocess
 import sys
-
-_DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
-    "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8, "u64": 8,
-}
-_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
-
-
-def _shape_bytes(dtype: str, dims: str) -> int:
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * _DTYPE_BYTES.get(dtype, 4)
-
-
-def _collective_stats(hlo: str) -> dict:
-    """Count collectives and sum their payload bytes from post-SPMD HLO.
-    For each op line the LARGEST dtype[shape] group on the line is taken
-    as the payload (result and operand have the same size for permutes;
-    async -start lines list both, so max avoids double counting)."""
-    stats: dict[str, dict] = {}
-    for kind in ("collective-permute", "all-reduce", "all-gather",
-                 "reduce-scatter", "all-to-all"):
-        count = 0
-        total = 0
-        for line in hlo.splitlines():
-            if f" {kind}(" not in line and f" {kind}-start(" not in line:
-                continue
-            count += 1
-            sizes = [
-                _shape_bytes(d, s) for d, s in _SHAPE_RE.findall(line)
-                if d in _DTYPE_BYTES
-            ]
-            if sizes:
-                total += max(sizes)
-        stats[kind] = {"count": count, "payload_bytes": total}
-    return stats
 
 
 def run_arm(input_hw: int, space: int, data: int) -> dict:
     """Compile the production-geometry train step at (input_hw, space,
     data) on a virtual CPU mesh and report memory + halo stats."""
-    import os
-
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     import __graft_entry__ as ge
-    import jax
-    import numpy as np
 
-    from em_adapt_tpu.config import (
-        DataConfig,
-        ExperimentConfig,
-        MeshConfig,
-        ModelConfig,
-        TrainConfig,
+    result = ge.compile_production_step(
+        input_hw=input_hw, space=space, data=data
     )
-    from em_adapt_tpu.train import Trainer
-
-    n_devices = space * data
-    devices = ge._force_cpu_mesh(n_devices)
-    batch = 6 * data
-    cfg = ExperimentConfig(
-        model=ModelConfig(compute_dtype="bfloat16",
-                          input_size=(input_hw, input_hw)),
-        data=DataConfig(input_size=(input_hw, input_hw)),
-        train=TrainConfig(batch_size=batch),
-        mesh=MeshConfig(axes=(("data", data), ("space", space))),
-    )
-    trainer = Trainer(cfg, steps_per_epoch=100, devices=devices)
-    plan = trainer.plan
-    state_avals = trainer.abstract_state()
-
-    def aval(shape, name):
-        plain = jax.ShapeDtypeStruct(shape, np.float32)
-        return jax.ShapeDtypeStruct(
-            shape, np.float32, sharding=plan._leaf_sharding(name, plain)
-        )
-
-    batch_avals = {
-        "image": aval((batch, input_hw, input_hw, 3), "image"),
-        "label": aval((batch, input_hw, input_hw, 1), "label"),
-    }
-    compiled = trainer.train_step.lower(state_avals, batch_avals).compile()
-    result = {
-        "input": input_hw,
-        "space": space,
-        "data": data,
-        "batch_per_data_shard": 6,
-        "collectives": _collective_stats(compiled.as_text()),
-    }
-    try:
-        mem = compiled.memory_analysis()
-        result["peak_temp_bytes_per_device"] = int(
-            getattr(mem, "temp_size_in_bytes", 0)
-        )
-        result["argument_bytes_per_device"] = int(
-            getattr(mem, "argument_size_in_bytes", 0)
-        )
-    except Exception as e:  # CPU backend may lack the analysis
-        result["memory_analysis_error"] = str(e)
+    result.update(input=input_hw, space=space, data=data)
     return result
 
 

@@ -441,6 +441,13 @@ def main(argv=None) -> int:
                          "checkpoint tree (its best_metric.json sidecar "
                          "supplies the prior score), skipping the ~7-min "
                          "phase-A training")
+    ap.add_argument("--prior-steps", type=int, default=2500,
+                    help="fixed mode: phase-A adaptive-prior training "
+                         "steps. Decoupled from --steps (which sizes the "
+                         "COLD arms) — the prior must run long enough to "
+                         "lock (seed 0 locks within 2500; the tail runs "
+                         "to ~4000), or the pass contract's "
+                         "prior >= 0.26 floor fails spuriously")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seeds", type=int, default=5,
@@ -592,7 +599,7 @@ def main(argv=None) -> int:
         else:
             prior_dir = _tf.mkdtemp(prefix="em_fixed_prior_")
             prior = run_rehearsal(
-                steps=args.steps or 2500, seed=args.seed,
+                steps=args.prior_steps, seed=args.seed,
                 dropout_keep_prob=args.dropout, refine_steps=0,
                 save_dir=prior_dir,
                 log=lambda m: print(f"[prior] {m}", flush=True))
