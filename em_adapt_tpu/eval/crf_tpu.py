@@ -226,7 +226,19 @@ def _compiled_batch(
         g_compat=g_compat,
         iterations=iterations,
     )
-    return jax.jit(jax.vmap(fn))
+    # lax.map (sequential per-image), NOT vmap: vmap's batched-scatter
+    # lowering of the bilateral-grid splat reproducibly faults the TPU
+    # runtime on specific guide-image combinations whose images each
+    # pass individually (tools/repro_crf_tpu_fault.py; v5e via the axon
+    # relay). The CRF is compute-bound with flat batch scaling
+    # (PROFILE.md), so serializing the batch dim costs ~nothing and the
+    # per-image program does not hit the bug. Same rationale as
+    # eval/predict.py::_make_device_voc_post.
+    return jax.jit(
+        lambda probs, rgb, mask: jax.lax.map(
+            lambda args: fn(*args), (probs, rgb, mask)
+        )
+    )
 
 
 def _compiled_scalar_probe(cfg: EvalConfig, iterations: int):

@@ -288,7 +288,8 @@ class Evaluator:
         )
         bh, bw = bucket
 
-        def one(lg, rgb, size):
+        def one(args):
+            lg, rgb, size = args
             up = resize_bilinear_tf_dynamic(lg, size, (bh, bw))
             mask = (
                 (jnp.arange(bh)[:, None] < size[0])
@@ -299,7 +300,19 @@ class Evaluator:
             q = refine(probs, rgb, mask.astype(jnp.float32))
             return jnp.argmax(q, axis=-1).astype(jnp.uint8)
 
-        return jax.jit(jax.vmap(one))
+        # lax.map (sequential per-image), NOT vmap: the batched-scatter
+        # program vmap makes of the bilateral-grid splat reproducibly
+        # FAULTS the TPU runtime ("TPU worker process crashed / kernel
+        # fault") on specific guide-image combinations — bisected to one
+        # 6-image batch whose images each pass individually
+        # (tools/repro_crf_tpu_fault.py keeps the repro; v5e via the
+        # axon relay, jax 0.8.x). The CRF is compute-bound with flat
+        # batch scaling (PROFILE.md: 0.289 s/img at batch 4 vs 0.280 at
+        # batch 8), so serializing the batch dim costs ~nothing and the
+        # per-image program demonstrably does not hit the bug.
+        return jax.jit(
+            lambda lgs, rgbs, sizes: jax.lax.map(one, (lgs, rgbs, sizes))
+        )
 
     def _evaluate_voc_device(
         self, params, dataset, bs: int
