@@ -6,10 +6,14 @@ staged LR drops with exact-boundary "lr" snapshots, rolling "norm"
 saves, periodic VOC-protocol eval with the "best" race, log cadence)
 through the REAL `em-adapt train` CLI, in three arms: control,
 SIGTERM-preempted, and --resume. The artifact records the full logged
-loss/LR/val streams and checkpoint metadata of all arms; these tests
-RECOMPUTE every contract from those streams rather than trusting the
-tool's own "pass" flag. Re-running the ~25-min TPU protocol is the
-tool's job, not the suite's (same policy as tests/test_convergence.py).
+loss/LR/val streams plus recorded checkpoint metadata (lr/norm step
+listings, best sidecars — direct disk observations). Contracts over the
+STREAMS (resume bit-exactness, the staged LR schedule, the best race)
+are RECOMPUTED here from the raw streams rather than trusting the
+tool's own "pass" flag; the checkpoint-metadata contracts necessarily
+trust the recorded listings (the run dirs live in the tool's workdir).
+Re-running the ~25-min TPU protocol is the tool's job, not the suite's
+(same policy as tests/test_convergence.py).
 """
 
 import json
@@ -60,12 +64,28 @@ def test_resume_is_bitexact(art):
 def test_lr_snapshots_and_schedule(art):
     """Exact-boundary "lr" snapshot checkpoints at all three drops in
     BOTH lineages (reference deeplab.py:248/:254/:260), and the logged
-    LR walking the staged schedule (1e-3 -> 1e-4 -> 1e-5 -> 1e-6)."""
+    LR walking the staged schedule (1e-3 -> 1e-4 -> 1e-5 -> 1e-6) —
+    recomputed from the raw recorded (step, lr) streams, not read back
+    from the tool's own check."""
     checks = art["checks"]
     drops = art["lr_drop_steps"]
     assert checks["lr_snapshots_control"] == drops
     assert checks["lr_snapshots_preempt"] == drops
-    assert checks["lr_schedule_errors"] == []
+
+    stages = (1e-3, 1e-4, 1e-5, 1e-6)
+
+    def expected_lr(step):
+        # the JSONL logs the LAST EXECUTED step's LR (lr_at(step - 1))
+        return stages[sum(step > s for s in drops)]
+
+    for lineage in ("control", "preempt"):
+        stream = art[f"lr_stream_{lineage}"]
+        assert len(stream) >= 30, lineage
+        seen_stages = set()
+        for step, lr in stream:
+            assert lr == expected_lr(step), (lineage, step, lr)
+            seen_stages.add(lr)
+        assert seen_stages == set(stages), (lineage, seen_stages)
 
 
 def test_best_race_matches_val_peak(art):

@@ -163,12 +163,10 @@ def _run(cmd: list[str], log, timeout: float = 3600,
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True)
     sent = False
-    lines: list[str] = []
     import threading
 
     def _pump():
         for line in proc.stdout:
-            lines.append(line)
             log("  | " + line.rstrip())
 
     pump = threading.Thread(target=_pump, daemon=True)
@@ -334,6 +332,13 @@ def main(argv=None) -> int:
         "preempt_trigger_step": PREEMPT_AFTER_STEP,
         "knobs": args.knobs,
         "resume_step": resume_step,
+        # Raw logged (step, lr) streams so tests/test_schedule.py can
+        # recompute the staged-schedule contract independently instead
+        # of trusting checks["lr_schedule_errors"] (review finding).
+        "lr_stream_control": sorted(lr_c.items()),
+        "lr_stream_preempt": sorted(
+            {**_lr_stream(rec_p1), **_lr_stream(rec_p2)}.items()
+        ),
         "loss_stream_control": sorted(loss_c.items()),
         "loss_stream_preempt": sorted(loss_p.items()),
         "loss_mismatches": mismatches,
