@@ -282,3 +282,33 @@ def test_dense_crf_tpu_method_dispatch():
     got = dense_crf(probs, rgb, cfg, method="tpu")
     want = dense_crf_tpu(probs, rgb, cfg)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_committed_fault_fixture_refines_through_shipped_path():
+    """Regression guard for the round-4 XLA:TPU fault: jax.vmap's
+    batched-scatter lowering of the bilateral splat crashed the TPU
+    worker on EXACTLY these committed inputs (each image passes
+    individually; tools/repro_crf_tpu_fault.py reproduces both
+    outcomes on real hardware). The shipped formulation serializes the
+    batch via lax.map; this test keeps the fixture loadable and that
+    path refining it to valid probabilities (CPU backend — the fault
+    itself is TPU-runtime-only)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from em_adapt_tpu.eval.crf_tpu import make_crf_tpu
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "crf_tpu_fault_inputs.npz")
+    d = np.load(path)
+    probs, rgb = d["probs"][:2], d["rgb"][:2]  # 2 of the 6 (CPU budget)
+    assert probs.shape[1:] == (129, 129, 4) and rgb.dtype == np.uint8
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    fn = make_crf_tpu(EvalConfig(), num_iterations=2)
+    out = np.asarray(
+        fn(jnp.asarray(probs), jnp.asarray(rgb),
+           jnp.ones(probs.shape[:3], jnp.float32))
+    )
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-4)
