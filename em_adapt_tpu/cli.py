@@ -59,7 +59,9 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-jsonl", default=None, help="also write metrics JSONL here")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the first steps")
-    t.add_argument("--preset", choices=("reference", "tpu-perf", "tpu-perf-fold"),
+    t.add_argument("--preset",
+                   choices=("reference", "tpu-perf", "tpu-perf-fold",
+                            "tpu-highres"),
                    default="reference",
                    help="config preset applied BEFORE overrides: "
                         "'reference' = the reference's exact recipe "
@@ -76,7 +78,14 @@ def _build_parser() -> argparse.ArgumentParser:
                         "test_folded_batch_matches_accumulation — at "
                         "batch-30 MFU: ~174 img/s/chip; NOT equivalent "
                         "under --strong-list: the strong-path masked CE "
-                        "normalizes per batch, the CLI warns)")
+                        "normalizes per batch, the CLI warns); "
+                        "'tpu-highres' = tpu-perf execution levers at "
+                        "513² input with spatial partitioning (mesh "
+                        "space=3: -56-58%% per-device activation memory, "
+                        "SPATIAL.json) + per-block rematerialization — "
+                        "the measured when-to-use recipe for >=513² "
+                        "multi-chip runs (labels ship full-res: the "
+                        "score map is 65², not 41²)")
     t.add_argument("--device-data", type=int, default=None, metavar="N",
                    help="smoke/bench mode: pre-upload N batches and cycle "
                         "them on device, isolating step throughput from "
@@ -237,6 +246,45 @@ def _load_inference_params(trainer, cfg, verb: str):
     return state
 
 
+def train_presets() -> dict[str, list[str]]:
+    """Named override bundles applied BEFORE the user's dotted overrides
+    (see the --preset help for the measured numbers behind each)."""
+    _tpu_perf = [
+        "model.compute_dtype=bfloat16",
+        "train.macro_steps=10",
+        "train.rng_impl=rbg",
+        "data.wire_dtype=uint8",
+        "data.train_label_size=(41,41)",
+    ]
+    return {
+        "reference": [],
+        "tpu-perf": _tpu_perf,
+        # The reference's effective batch 30 (6 x accum 5) folded into one
+        # batch-30 step — same update trajectory for the weak-supervision
+        # recipe (see the preset help), at batch-30 MFU. batch_size is
+        # GLOBAL; on a multi-chip data mesh it is auto-scaled to
+        # 30 x data-axis in cmd_train unless explicitly overridden.
+        "tpu-perf-fold": _tpu_perf + [
+            "train.batch_size=30",
+            "optim.accum_steps=1",
+        ],
+        # The SPATIAL.json when-to-use recipe productized (round-4
+        # review): >=513² inputs on a multi-chip mesh want space=3
+        # (-56-58% per-device activation memory for 125-199 MB/step of
+        # halo collective-permutes) plus per-block remat. Labels ship
+        # full-res — the 513² score map is 65², not tpu-perf's 41².
+        "tpu-highres": [
+            "model.compute_dtype=bfloat16",
+            "train.macro_steps=10",
+            "train.rng_impl=rbg",
+            "data.wire_dtype=uint8",
+            "model.input_size=(513,513)",
+            "model.remat=true",
+            'mesh.axes=(("data",-1),("space",3))',
+        ],
+    }
+
+
 def cmd_train(args) -> int:
     import jax
 
@@ -244,6 +292,15 @@ def cmd_train(args) -> int:
         # Trivially checkable: fail before any Trainer/device work (a
         # remote-TPU init costs minutes on this rig).
         print("error: --warm-start and --resume are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    _sv = getattr(args, "synthetic_val", None)
+    if _sv is not None and _sv <= 0:
+        # An explicit 0 used to fall through `or` to the size/4 default
+        # (advisor finding, round 4): reject non-positive sizes eagerly.
+        print(f"error: --synthetic-val must be positive, got {_sv} "
+              "(omit the flag for the size/4 default, or drop "
+              "train.eval_every_steps to disable eval)",
               file=sys.stderr)
         return 2
     _setup_jax()
@@ -270,26 +327,7 @@ def cmd_train(args) -> int:
 
     is_main = jax.process_index() == 0
     process_shard = (jax.process_index(), jax.process_count())
-    _tpu_perf = [
-        "model.compute_dtype=bfloat16",
-        "train.macro_steps=10",
-        "train.rng_impl=rbg",
-        "data.wire_dtype=uint8",
-        "data.train_label_size=(41,41)",
-    ]
-    preset = {
-        "reference": [],
-        "tpu-perf": _tpu_perf,
-        # The reference's effective batch 30 (6 x accum 5) folded into one
-        # batch-30 step — same update trajectory for the weak-supervision
-        # recipe (see the preset help), at batch-30 MFU. batch_size is
-        # GLOBAL; on a multi-chip data mesh it is auto-scaled to
-        # 30 x data-axis below unless explicitly overridden.
-        "tpu-perf-fold": _tpu_perf + [
-            "train.batch_size=30",
-            "optim.accum_steps=1",
-        ],
-    }[getattr(args, "preset", "reference")]
+    preset = train_presets()[getattr(args, "preset", "reference")]
     cfg = _load_cfg(preset + list(args.overrides or []))
     if args.strong_list or args.strong_fraction > 0:
         cfg = cfg.replace(semi_supervised=True)
@@ -385,9 +423,13 @@ def cmd_train(args) -> int:
         # to the full-set matrix — pinned by tests/test_multihost.py).
         from em_adapt_tpu.eval.predict import Evaluator
 
-        n_val = getattr(args, "synthetic_val", None) or max(
-            (args.synthetic or 8) // 4, 2
-        )
+        # `or` would silently treat an explicit --synthetic-val 0 as
+        # unset and fall back to the size/4 default (advisor finding,
+        # round 4): test None explicitly (non-positive values were
+        # rejected at the top of cmd_train).
+        n_val = getattr(args, "synthetic_val", None)
+        if n_val is None:
+            n_val = max((args.synthetic or 8) // 4, 2)
         if args.synthetic and getattr(args, "synthetic_learnable", False):
             from em_adapt_tpu.data.pipeline import LearnableSyntheticVOC
 

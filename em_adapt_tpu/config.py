@@ -38,6 +38,14 @@ class EStepConfig:
     margin_others: float = 1e-5
     fixed_bg_bias: float = 3.0
     fixed_fg_bias: float = 5.0
+    #: Units of the EM-Fixed biases: "logit" (paper formulation — raw
+    #: score-unit constants; CONVERGENCE_FIXED.json shows every
+    #: end-to-end run with these degrading the model on the rehearsal
+    #: task) or "spread" (biases are multiples of the per-image
+    #: present-class score STD, so the effective bias tracks the logit
+    #: spread — the calibrated control the round-4 erosion analysis
+    #: implies). Only read when method="fixed".
+    fixed_bias_units: str = "logit"
     #: "auto" (fused Pallas kernel on TPU — measured 1.4x faster than the
     #: XLA sort lowering — pure-XLA elsewhere), "jax" (portable), "pallas"
     #: (force the kernel; interpreted off-TPU), or "native" (host C++ via

@@ -143,7 +143,8 @@ def estep(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bg_bias", "fg_bias", "suppress_others", "margin_others"),
+    static_argnames=("bg_bias", "fg_bias", "suppress_others", "margin_others",
+                     "bias_units"),
 )
 def estep_fixed(
     scores: jax.Array,
@@ -153,6 +154,7 @@ def estep_fixed(
     fg_bias: float = 5.0,
     suppress_others: bool = True,
     margin_others: float = 1e-5,
+    bias_units: str = "logit",
 ) -> jax.Array:
     """EM-Fixed E-step (arXiv:1502.02734 §3.3): add a CONSTANT bias to each
     present class's scores — ``bg_bias`` for background, ``fg_bias`` for
@@ -162,9 +164,24 @@ def estep_fixed(
     adaptive path, reference estep.py:46-55). One elementwise add: no
     iterations, no sort, nothing for a custom kernel to win.
 
+    ``bias_units``: "logit" (the paper's formulation — biases are raw
+    score-unit constants) or "spread" (biases are multiples of each
+    image's present-class score STD, so the effective bias tracks the
+    logit spread as training sharpens it). "spread" is the control the
+    round-4 erosion analysis implies (CONVERGENCE_FIXED.json: a constant
+    logit-unit bias loses calibration as the spread grows — at warm-start
+    spreads ~10 logits a +5 constant is small, but the bg/fg bias GAP
+    stays 2 logits absolute while the model's own bg margins keep
+    growing, eroding background to all-foreground). The probe result
+    lives in CONVERGENCE_FIXED.json's ``warm_spread`` arm.
+
     Returns the biased [B, H, W, C] float32 score map (stop-gradient at
     the call site, like :func:`estep`).
     """
+    if bias_units not in ("logit", "spread"):
+        raise ValueError(
+            f"bias_units={bias_units!r}: expected 'logit' or 'spread'"
+        )
     f = scores.astype(jnp.float32)
     c = f.shape[-1]
     tags = derive_tags(label, c)  # [B,C] float32
@@ -173,7 +190,19 @@ def estep_fixed(
     per_class = jnp.where(
         jnp.arange(c) == 0, jnp.float32(bg_bias), jnp.float32(fg_bias)
     )
-    return f + (tags * per_class)[:, None, None, :]
+    bias = (tags * per_class)[:, None, None, :]  # [B,1,1,C]
+    if bias_units == "spread":
+        # Per-image STD of the present-class scores (masked moments —
+        # absent channels would otherwise pollute the spread with the
+        # suppression clamp's artifacts).
+        mask = tags[:, None, None, :]  # [B,1,1,C] broadcast over pixels
+        h, w = f.shape[1], f.shape[2]
+        n = jnp.maximum(jnp.sum(tags, axis=1) * (h * w), 1.0)  # [B]
+        mean = jnp.sum(f * mask, axis=(1, 2, 3)) / n
+        var = jnp.sum(mask * (f - mean[:, None, None, None]) ** 2,
+                      axis=(1, 2, 3)) / n
+        bias = bias * jnp.sqrt(var)[:, None, None, None]
+    return f + bias
 
 
 def _estep_pallas_dp(scores, label, orders, mesh, data_axis: str, kw: dict):
@@ -257,6 +286,7 @@ def estep_labels(
             fg_bias=cfg.fixed_fg_bias,
             suppress_others=cfg.suppress_others,
             margin_others=cfg.margin_others,
+            bias_units=cfg.fixed_bias_units,
         )
         return jnp.argmax(biased, axis=3).astype(jnp.int32)
     if cfg.impl == "native":

@@ -31,6 +31,41 @@ from em_adapt_tpu.train.optim import build_optimizer, lr_at
 from em_adapt_tpu.train.state import TrainState
 
 
+def config_hints(cfg: ExperimentConfig, plan: MeshPlan) -> list[str]:
+    """Measured-knowledge hints the Trainer surfaces at construction.
+
+    Round-4 review: the spatial-sharding characterization (SPATIAL.json)
+    and the EM-Fixed erosion evidence (CONVERGENCE_FIXED.json) were
+    guidance living only in docs — nothing in the product applied or
+    surfaced them. Returns the hint strings (tests call this directly;
+    ``Trainer.__init__`` emits each as a ``UserWarning``).
+    """
+    hints = []
+    n_devices = plan.mesh.devices.size
+    if (cfg.model.input_size[0] >= 513 and n_devices > 1
+            and plan.num_space_shards == 1):
+        hints.append(
+            f"input {cfg.model.input_size[0]}² with space=1 on a "
+            f"{n_devices}-device mesh: spatial partitioning saves 56-58% "
+            "per-device activation memory at >=513² (5.7 GB at 513², "
+            "SPATIAL.json) for 125-199 MB/step of halo traffic — "
+            "consider mesh.axes with space=3 (`--preset tpu-highres` "
+            "applies space=3 + remat)"
+        )
+    if cfg.estep.method == "fixed" and cfg.estep.fixed_bias_units == "logit":
+        hints.append(
+            "estep.method='fixed' with logit-unit biases: every "
+            "end-to-end run of this variant on the rehearsal task "
+            "degraded the model (cold start: trivial at every bias; "
+            "warm start from a 0.32 prior: erodes to all-foreground — "
+            "CONVERGENCE_FIXED.json). The constant bias loses "
+            "calibration as the logit spread grows; "
+            "estep.fixed_bias_units='spread' tracks it instead, and "
+            "estep.method='adaptive' is the reference algorithm"
+        )
+    return hints
+
+
 def tag_classification_loss(
     logits: jax.Array,
     shrunk: jax.Array,
@@ -288,6 +323,10 @@ class Trainer:
 
         self.cfg = cfg
         self.plan = make_mesh(cfg.mesh, devices=devices)
+        for hint in config_hints(cfg, self.plan):
+            import warnings
+
+            warnings.warn(hint, stacklevel=2)
         self.model = model or get_model(cfg.model.name)(cfg.model)
         # steps_per_epoch: data_len // batch_size (reference deeplab.py:241);
         # callers with a real dataset pass it in, tests may use a constant.

@@ -79,3 +79,24 @@ def test_override_bare_string_ok_for_string_fields():
 def test_override_int_promotes_to_float_field():
     c = apply_overrides(ExperimentConfig(), ["optim.base_lr=1"])
     assert c.optim.base_lr == 1.0 and isinstance(c.optim.base_lr, float)
+
+
+def test_tpu_highres_preset_is_the_spatial_recipe():
+    """The SPATIAL.json when-to-use guidance as a product preset (round-4
+    review): space=3 + remat + 513² input + the tpu-perf execution
+    levers, with labels left full-res (the 513² score map is 65²)."""
+    from em_adapt_tpu.cli import train_presets
+
+    presets = train_presets()
+    assert set(presets) == {
+        "reference", "tpu-perf", "tpu-perf-fold", "tpu-highres"
+    }
+    cfg = apply_overrides(ExperimentConfig(), presets["tpu-highres"])
+    assert cfg.model.input_size == (513, 513)
+    assert cfg.data.input_size == (513, 513)  # synced by apply_overrides
+    assert cfg.model.remat is True
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert dict(cfg.mesh.axes)["space"] == 3
+    assert cfg.data.train_label_size is None
+    # 513 rows split 3-way cleanly (the space-axis divisibility contract)
+    assert 513 % 3 == 0

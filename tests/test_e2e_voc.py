@@ -362,3 +362,16 @@ def test_train_cli_synthetic_learnable_with_strong_and_eval(tmp_path):
     # the best race ran over the learnable val set
     best = tmp_path / "saver" / "best"
     assert best.is_dir() and any(p.isdigit() for p in os.listdir(best))
+
+
+def test_train_cli_rejects_nonpositive_synthetic_val():
+    """An explicit --synthetic-val 0 used to silently fall through `or`
+    to the size/4 default (advisor finding, round 4); now it is an
+    eager argument error, before any device work."""
+    from em_adapt_tpu import cli
+
+    rc = cli.main([
+        "train", "--synthetic", "8", "--synthetic-val", "0",
+        "--steps", "1", "train.eval_every_steps=1",
+    ])
+    assert rc == 2

@@ -332,3 +332,95 @@ def test_trainer_step_with_fixed_method(rng):
     }
     state, m = trainer.train_step(state, trainer.plan.shard_batch(batch))
     assert np.isfinite(float(jax.device_get(m["loss"])))
+
+
+def test_estep_fixed_spread_units_hand_computation(rng):
+    """bias_units='spread': the bias is kappa * (per-image masked STD of
+    the present-class scores) — checked against a direct numpy moment
+    computation (suppression off so the score map is untouched)."""
+    from em_adapt_tpu.ops.estep import estep_fixed
+
+    g = np.random.default_rng(23)
+    b, h, w, c = 2, 7, 6, 5
+    scores = (g.normal(size=(b, h, w, c)) * 3).astype(np.float32)
+    label = np.zeros((b, h, w), np.float32)
+    label[0, :3] = 2.0                  # image 0: classes {0, 2}
+    label[1] = 1.0
+    label[1, :, 4:] = 4.0               # image 1: classes {1, 4} (no bg)
+    tags = np.zeros((b, c), np.float32)
+    tags[0, [0, 2]] = 1.0
+    tags[1, [1, 4]] = 1.0
+
+    mask = tags[:, None, None, :]
+    n = tags.sum(1) * (h * w)
+    mean = (scores * mask).sum(axis=(1, 2, 3)) / n
+    var = (mask * (scores - mean[:, None, None, None]) ** 2).sum(
+        axis=(1, 2, 3)
+    ) / n
+    std = np.sqrt(var)
+    per_class = np.where(np.arange(c) == 0, 1.5, 2.5).astype(np.float32)
+    want = scores + (tags * per_class)[:, None, None, :] * std[:, None, None, None]
+    got = np.asarray(
+        estep_fixed(
+            jnp.asarray(scores), jnp.asarray(label), bg_bias=1.5,
+            fg_bias=2.5, suppress_others=False, bias_units="spread",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_estep_fixed_spread_units_scale_equivariant(rng):
+    """The calibration property the logit-unit variant lacks (the round-4
+    erosion mechanism, CONVERGENCE_FIXED.json): under 'spread' units a
+    global rescale of the score map rescales the bias identically, so
+    the E-step's DECISIONS are invariant to how sharp the logits have
+    grown. Exact equivariance with suppression off; argmax invariance
+    with the full default path (the suppression margin is a non-scaling
+    1e-5 constant)."""
+    from em_adapt_tpu.ops.estep import estep_fixed
+
+    g = np.random.default_rng(31)
+    b, h, w, c = 2, 8, 8, 4
+    scores = g.normal(size=(b, h, w, c)).astype(np.float32)
+    label = g.integers(0, c, size=(b, h, w)).astype(np.float32)
+    kw = dict(bg_bias=3.0, fg_bias=5.0, bias_units="spread")
+    base = np.asarray(
+        estep_fixed(jnp.asarray(scores), jnp.asarray(label),
+                    suppress_others=False, **kw)
+    )
+    for alpha in (0.25, 16.0):
+        scaled = np.asarray(
+            estep_fixed(jnp.asarray(scores * alpha), jnp.asarray(label),
+                        suppress_others=False, **kw)
+        )
+        np.testing.assert_allclose(scaled, base * alpha, rtol=3e-5,
+                                   atol=1e-4 * alpha)
+    full = np.asarray(
+        estep_fixed(jnp.asarray(scores), jnp.asarray(label), **kw)
+    ).argmax(-1)
+    for alpha in (0.25, 16.0):
+        got = np.asarray(
+            estep_fixed(jnp.asarray(scores * alpha), jnp.asarray(label), **kw)
+        ).argmax(-1)
+        np.testing.assert_array_equal(got, full)
+
+
+def test_estep_labels_fixed_spread_units_flow_through_config(rng):
+    """estep.fixed_bias_units='spread' reaches the kernel via
+    estep_labels, and an unknown unit string is a hard error."""
+    from em_adapt_tpu.config import EStepConfig
+    from em_adapt_tpu.ops.estep import estep_fixed, estep_labels
+
+    g = np.random.default_rng(3)
+    scores = jnp.asarray(g.normal(size=(2, 6, 6, 4)).astype(np.float32))
+    label = jnp.asarray(g.integers(0, 4, size=(2, 6, 6)).astype(np.float32))
+    cfg = EStepConfig(method="fixed", fixed_bias_units="spread",
+                      fixed_bg_bias=1.0, fixed_fg_bias=2.0)
+    got = np.asarray(estep_labels(scores, label, None, cfg))
+    want = np.asarray(
+        estep_fixed(scores, label, bg_bias=1.0, fg_bias=2.0,
+                    bias_units="spread")
+    ).argmax(-1)
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="bias_units"):
+        estep_fixed(scores, label, bias_units="typo")

@@ -80,3 +80,39 @@ def test_committed_spatial_characterization_artifact():
         ), row
         assert row["halo_permutes_per_step"] > 0
         assert row["halo_payload_mb_per_step"] > 0
+
+
+def test_collective_stats_payload_accounting():
+    """Round-4 advisor finding: the old per-line max undercounted tuple
+    (multi-operand fused) collectives. The counter now sums the RESULT
+    type's element shapes (operands print as untyped %refs in this
+    jaxlib's HLO), halves async -start alias tuples, and never counts
+    -done lines."""
+    mod = _load()
+    hlo = "\n".join([
+        # plain single-operand: result f32[128,64] = 32768 B
+        '  %ar.1 = f32[128,64]{1,0} all-reduce(%a), replica_groups={{0,1}}',
+        # fused multi-operand: tuple result sums -> (16+8)*4 = 96 B
+        '  %ar.2 = (f32[16]{0}, f32[8]{0}) all-reduce(%x, %y), channel_id=2',
+        # async start: (operand, result) alias pair halves -> 128 B
+        '  %ar.3 = (f32[32]{0}, f32[32]{0}) all-reduce-start(%z)',
+        # the matching done must NOT be counted (duplicates the start)
+        '  %ar.4 = f32[32]{0} all-reduce-done(%ar.3)',
+        # another kind, bf16 payload: 10*10*2 = 200 B
+        '  %cp.1 = bf16[10,10]{1,0} collective-permute(%p), channel_id=3',
+    ])
+    stats = mod.collective_stats(hlo)
+    assert stats["all-reduce"]["count"] == 3
+    assert stats["all-reduce"]["payload_bytes"] == (
+        128 * 64 * 4 + (16 + 8) * 4 + 32 * 4
+    )
+    assert stats["collective-permute"] == {"count": 1, "payload_bytes": 200}
+    assert stats["all-gather"] == {"count": 0, "payload_bytes": 0}
+
+
+def test_compile_production_step_rejects_indivisible_device_count():
+    """n_devices not divisible by space*model_ax used to silently compile
+    a smaller mesh than requested (advisor finding, round 4)."""
+    mod = _load()
+    with pytest.raises(AssertionError, match="divisible"):
+        mod.compile_production_step(7, space=3, model_ax=1)

@@ -1072,3 +1072,85 @@ def test_lr_schedule_rejects_duplicate_epochs():
     cfg = OptimConfig(base_lr=1e-3, lr_schedule=((10, 1e-4), (10, 1e-5)))
     with pytest.raises(ValueError, match="duplicate epoch"):
         lr_schedule(cfg, steps_per_epoch=10)
+
+
+def test_config_hints_surface_measured_guidance():
+    """Round-4 review: the SPATIAL.json when-to-use table and the
+    EM-Fixed erosion evidence lived only in docs. config_hints surfaces
+    both at Trainer construction."""
+    from em_adapt_tpu.config import (
+        EStepConfig,
+        ExperimentConfig,
+        MeshConfig,
+        ModelConfig,
+    )
+    from em_adapt_tpu.parallel.mesh import make_mesh
+    from em_adapt_tpu.train.trainer import config_hints
+
+    def hints(cfg, n=8):
+        return config_hints(cfg, make_mesh(cfg.mesh, devices=jax.devices()[:n]))
+
+    # >=513^2 input, multi-device mesh, space=1 -> spatial hint
+    big = ExperimentConfig(
+        model=ModelConfig(input_size=(513, 513)),
+        mesh=MeshConfig(axes=(("data", 8), ("space", 1))),
+    )
+    assert any("space=3" in h for h in hints(big))
+    # space already partitioned -> no hint (513 isn't divisible by 2, so
+    # use a 3-way space axis sized to fit the divisibility contract is
+    # irrelevant here: config_hints reads the MESH, not the trace)
+    spaced = big.replace(
+        mesh=MeshConfig(axes=(("data", 4), ("space", 2)))
+    )
+    assert not any("space=3" in h for h in hints(spaced))
+    # small input -> no hint
+    small = ExperimentConfig(
+        model=ModelConfig(input_size=(321, 321)),
+        mesh=MeshConfig(axes=(("data", 8), ("space", 1))),
+    )
+    assert not any("space=3" in h for h in hints(small))
+
+    # ... and a single device never hints about spatial partitioning
+    single = ExperimentConfig(
+        model=ModelConfig(input_size=(513, 513)),
+        mesh=MeshConfig(axes=(("data", 1),)),
+    )
+    assert not any("space=3" in h for h in hints(single, n=1))
+
+    # EM-Fixed with logit-unit biases -> erosion warning...
+    fixed = ExperimentConfig(
+        estep=EStepConfig(method="fixed"),
+        mesh=MeshConfig(axes=(("data", 1),)),
+    )
+    assert any("CONVERGENCE_FIXED" in h for h in hints(fixed, n=1))
+    # ...silenced by the spread-calibrated units or the adaptive method
+    spread = fixed.replace(
+        estep=EStepConfig(method="fixed", fixed_bias_units="spread")
+    )
+    assert not any("CONVERGENCE_FIXED" in h for h in hints(spread, n=1))
+    assert not hints(
+        ExperimentConfig(mesh=MeshConfig(axes=(("data", 1),))), n=1
+    )
+
+
+def test_trainer_warns_on_fixed_logit_units(rng):
+    """Trainer construction emits the config hints as UserWarnings."""
+    from em_adapt_tpu.config import (
+        EStepConfig,
+        ExperimentConfig,
+        MeshConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from em_adapt_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, input_size=(32, 32), fc6_channels=8),
+        estep=EStepConfig(method="fixed"),
+        optim=OptimConfig(accum_steps=1),
+        train=TrainConfig(batch_size=8),
+        mesh=MeshConfig(axes=(("data", 8),)),
+    )
+    with pytest.warns(UserWarning, match="CONVERGENCE_FIXED"):
+        Trainer(cfg, steps_per_epoch=4)

@@ -146,6 +146,12 @@ def _ckpt_steps(save_dir: str, tag: str) -> list[int]:
 
 def _first_argmax(curve: list[tuple[int, float]]) -> tuple[int, float]:
     """The trainer's best race uses strict '>': ties keep the FIRST max."""
+    if not curve:
+        raise RuntimeError(
+            "no val_metric records in the JSONL stream — the arm logged "
+            "no evals (was train.eval_every_steps overridden off?); the "
+            "best-race contracts need a non-empty val curve"
+        )
     best_step, best = curve[0]
     for step, v in curve[1:]:
         if v > best:
