@@ -690,15 +690,33 @@ class Trainer:
                 )
             batch_it = iter(batches)
             _END = object()
+            stop_step = None
             while step_idx < total_steps:
                 # Shutdown and budget are checked BEFORE fetching: a
                 # finished/preempted run must not block on (and consume)
                 # one more decoded+uploaded batch. The flag is made
-                # process-UNIFORM on multi-host (utils/failure.py): the
-                # orbax save below is a cross-process collective, so a
-                # signal that reached only some processes would deadlock
-                # the job right when it is being preempted.
-                if shutdown.requested_uniform():
+                # process-UNIFORM on multi-host (utils/failure.py) AND
+                # the stop STEP is agreed explicitly: the orbax save
+                # below is a cross-process collective, and processes
+                # observe the flag up to one dispatch window apart — a
+                # process stopping one step before its peer leaves the
+                # peer's last psum incomplete, hanging its pre-save
+                # device_get (utils/failure.py::agreed_stop_step).
+                if stop_step is None and shutdown.requested_uniform():
+                    if jax.process_count() == 1:
+                        proposal = step_idx  # stop immediately
+                    else:
+                        # one more dispatch window: the same deterministic
+                        # schedule on every process, so the winning
+                        # proposal lands on a boundary everyone reaches
+                        proposal = step_idx + (
+                            macro_k
+                            if macro_k > 1
+                            and total_steps - step_idx >= macro_k
+                            else 1
+                        )
+                    stop_step = shutdown.agreed_stop_step(proposal)
+                if stop_step is not None and step_idx >= stop_step:
                     # Preemption / interrupt: persist the full state and
                     # leave cleanly (the reference would lose up to 6000
                     # steps here — SURVEY.md §5).

@@ -73,6 +73,55 @@ class GracefulShutdown:
         except Exception:
             return local
 
+    def agreed_stop_step(self, proposal: int) -> int:
+        """Cross-process agreement on the EXACT step to stop at.
+
+        ``requested_uniform`` makes the stop DECISION uniform, but each
+        process observes it at its own next loop boundary — and the
+        per-dispatch watchdog fetch bounds inter-process dispatch skew
+        to ONE window, so two processes can sit one dispatch apart when
+        the flag flips. Stopping at different steps deadlocks the job:
+        the ahead process's last psum never completes (its peer stopped
+        dispatching), so its pre-save device_get hangs right as the job
+        is being preempted — observed as a Gloo context-init
+        DEADLINE_EXCEEDED on the 2-process CPU dryrun.
+
+        Protocol: the first process to see the uniform flag publishes
+        ``proposal`` (its step index + one more dispatch window) to the
+        coordination-service KV store; everyone adopts the FIRST
+        published value (first-writer-wins — a second ``key_value_set``
+        on the same key fails and the loser reads the winner's value).
+        Because skew is bounded by one window and every process proposes
+        its own next boundary, the winning value is >= every process's
+        current dispatched step, so each process can reach it by
+        dispatching zero or one more window — no process ever has to
+        un-dispatch, and all enter the collective save at the same step.
+
+        Single-process (or no distributed client): returns ``proposal``
+        unchanged — the caller passes the CURRENT step there, preserving
+        the proven stop-immediately behavior."""
+        try:
+            import jax
+
+            if jax.process_count() <= 1:
+                return proposal
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            if client is None:
+                return proposal
+            key = "em_adapt/stop_step"
+            try:
+                client.key_value_set(key, str(proposal))
+            except Exception:
+                pass  # a peer published first: adopt theirs below
+            try:
+                return int(client.key_value_get(key, 10_000))
+            except Exception:
+                return proposal
+        except Exception:
+            return proposal
+
     def _handler(self, signum, frame):
         if self._flag.is_set():
             # second signal: restore default behavior and re-raise

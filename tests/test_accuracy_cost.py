@@ -50,3 +50,30 @@ def test_crf_impls_agree_and_effect_is_recorded(art):
     assert abs(host - tpu) <= 0.01
     assert "crf_host" in art["deltas_vs_f32"]
     assert "crf_tpu" in art["deltas_vs_f32"]
+
+
+def test_deltas_carry_interval_stats(art):
+    """Round-4 VERDICT weak #4: the deltas must be measured over multiple
+    disjoint streams with interval statistics, recomputed here from the
+    per-stream table rather than trusted."""
+    if "delta_stats" not in art:
+        pytest.skip("pre-round-5 artifact (single stream)")
+    assert art["streams"] >= 5
+    assert len(set(art["seeds"])) == art["streams"]
+    import math
+
+    for arm, stats in art["delta_stats"].items():
+        values = [s["deltas"][arm] for s in art["per_stream"]]
+        assert stats["values"] == values
+        n = len(values)
+        mean = sum(values) / n
+        assert stats["mean"] == pytest.approx(mean, abs=2e-4)
+        var = sum((v - mean) ** 2 for v in values) / (n - 1)
+        assert stats["std"] == pytest.approx(math.sqrt(var), abs=2e-4)
+        assert stats["ci95_half"] is not None and stats["ci95_half"] >= 0
+    # the baseline is a real model on EVERY stream, not just seed 777
+    assert min(art["f32_miou_stats"]["values"]) >= 0.30
+    # int8 is "free" as an interval statement: the CI around the mean
+    # int8 delta must stay above the -2-point bound
+    int8 = art["delta_stats"]["int8"]
+    assert int8["mean"] - int8["ci95_half"] >= -0.02

@@ -1,27 +1,33 @@
-"""Accuracy-cost deltas for the two post-training claims, on TRAINED weights.
+"""Accuracy-cost deltas for the post-training claims, on TRAINED weights.
 
 Round-3 VERDICT weaknesses #2/#3: int8 PTQ serving throughput (951 img/s)
 was accuracy-certified only on random-init weights, and the denseCRF path
 had never been shown to move a metric on a trained checkpoint. This tool
 evaluates ONE trained checkpoint through `evaluate_voc` (the exact
-original-resolution protocol behind the headline number) in four arms:
+original-resolution protocol behind the headline number) in these arms:
 
   * f32 baseline (no CRF)
-  * int8 PTQ (eval/quantize.py, calibrated on the first val batch)
-  * denseCRF, host path (numpy/scipy + native permutohedral lattice)
+  * int8 PTQ (eval/quantize.py, calibrated on a DISJOINT seed-778 batch)
+  * denseCRF, host path (numpy/scipy + native permutohedral lattice),
+    reference VOC-tuned hyperparameters (reference network.py:63)
   * denseCRF, on-device path (eval.crf_impl="tpu", one jitted graph)
+  * denseCRF, domain-TUNED hyperparameters (CRF_TUNING.json's
+    best_setting, selected on the disjoint seed-555 tune stream) when
+    that artifact exists
 
-and commits the mIoU deltas (ACCURACY_COST.json; pinned by
-tests/test_accuracy_cost.py, table in PROFILE.md). The checkpoint is the
-schedule rehearsal's "best" (LearnableSyntheticVOC, 4 classes, 129²,
-fc6-64, mIoU ~0.50 — tools/schedule_rehearsal.py) or any directory passed
-via --checkpoint with matching architecture; without one, the tool first
-trains its own prior with the standard convergence-rehearsal protocol.
+and — round-4 VERDICT weak #4 — repeats every arm over ``--streams``
+DISJOINT val streams (seeds 777, 1777, 2777, ...) so each delta carries a
+mean ± 95% CI instead of a single point that could ride one stream's
+near-dead class. The committed ACCURACY_COST.json keeps the
+first-stream arms at the top level (the round-4 schema) and adds the
+per-stream table + interval stats (pinned by tests/test_accuracy_cost.py,
+table in PROFILE.md).
 
-The CRF hyperparameters are the reference's VOC-tuned values (reference
-network.py:63); whether they transfer to 129² synthetic blobs is exactly
-what this measures — an honest negative (CRF neutral/harmful here) is a
-valid result and is recorded as such.
+The checkpoint is the schedule rehearsal's "best" (LearnableSyntheticVOC,
+4 classes, 129², fc6-64, mIoU ~0.50 — tools/schedule_rehearsal.py) or any
+directory passed via --checkpoint with matching architecture; without
+one, the tool first trains its own prior with the standard
+convergence-rehearsal protocol.
 
 Usage: python tools/accuracy_cost.py [--checkpoint DIR[:TAG]] [--out F]
 """
@@ -31,7 +37,28 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
+import os
 import time
+
+#: two-sided 97.5% Student-t quantiles by degrees of freedom (n-1); the
+#: tool caps --streams at 9 rather than shipping a scipy dependency.
+_T975 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+         7: 2.365, 8: 2.306}
+
+
+def _interval(values: list[float]) -> dict:
+    n = len(values)
+    mean = sum(values) / n
+    if n == 1:
+        return {"mean": round(mean, 4), "std": 0.0, "ci95_half": None,
+                "n": 1, "values": [round(v, 4) for v in values]}
+    var = sum((v - mean) ** 2 for v in values) / (n - 1)
+    std = math.sqrt(var)
+    half = _T975[n - 1] * std / math.sqrt(n)
+    return {"mean": round(mean, 4), "std": round(std, 5),
+            "ci95_half": round(half, 4), "n": n,
+            "values": [round(v, 4) for v in values]}
 
 
 def main(argv=None) -> int:
@@ -41,13 +68,19 @@ def main(argv=None) -> int:
                          "tag 'best'); architecture must be the rehearsal "
                          "geometry (4 classes, 129^2, fc6 64)")
     ap.add_argument("--val-images", type=int, default=64)
+    ap.add_argument("--streams", type=int, default=5,
+                    help="number of disjoint val streams (seeds 777, "
+                         "1777, ...) the deltas are averaged over")
+    ap.add_argument("--tuning", default="CRF_TUNING.json",
+                    help="CRF tuning artifact whose best_setting adds the "
+                         "crf_tuned arm (skipped if the file is absent)")
     ap.add_argument("--out", default="ACCURACY_COST.json")
     args = ap.parse_args(argv)
+    assert 1 <= args.streams <= 9, "--streams must be in 1..9"
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/em_adapt_jax_cache")
-    import numpy as np
 
     from em_adapt_tpu.config import (
         DataConfig,
@@ -74,7 +107,6 @@ def main(argv=None) -> int:
     if ckpt_dir and ":" in ckpt_dir.rpartition("/")[2]:
         ckpt_dir, _, tag = ckpt_dir.rpartition(":")
     if ckpt_dir is None:
-        import os
         import sys
         import tempfile
 
@@ -92,34 +124,12 @@ def main(argv=None) -> int:
     state = trainer.warm_start(trainer.init_state(), ckpt_dir, tag=tag)
     params = state.params
     model = trainer.model
-
-    # Measurement set DISJOINT from any selection set: both checkpoint
-    # sources (the schedule rehearsal and run_rehearsal) pick their
-    # "best" on the seed-0 val stream, so scoring the absolute mIoU
-    # floor there would be partly selection-biased. seed=777 draws a
-    # fresh val stream (review finding, round 4).
-    val_ds = LearnableSyntheticVOC(n=args.val_images, num_classes=4,
-                                   seed=777, category="val",
-                                   image_size=size)
     ev = Evaluator(cfg, model)
 
-    def timed(fn):
-        t0 = time.time()
-        miou, iou = fn()
-        return {
-            "miou": round(float(miou), 4),
-            "per_class_iou": [round(float(v), 4) for v in iou],
-            "elapsed_sec": round(time.time() - t0, 1),
-        }
-
-    arms = {}
-    arms["f32"] = timed(lambda: ev.evaluate_voc(params, val_ds, use_crf=False))
-    print("f32:", arms["f32"], flush=True)
-
     # int8 PTQ: the serving path cli.py's `eval --int8` takes. Calibration
-    # images come from a stream DISJOINT from the measurement set (seed
-    # 778 vs the measured 777) — drawing the calib batch from the measured
-    # stream let ~8 of the 64 scored images double as calibration data,
+    # images come from a stream DISJOINT from every measurement stream
+    # (seed 778 vs 777/1777/... ) — drawing the calib batch from a
+    # measured stream let calibration images double as scored images,
     # mildly flattering the int8 delta (advisor finding, round 4).
     from em_adapt_tpu.eval.quantize import quantize_model
 
@@ -130,53 +140,107 @@ def main(argv=None) -> int:
     )))["image"]
     qmodel, qparams = quantize_model(cfg.model, params, [calib])
     ev_q = Evaluator(cfg, qmodel)
-    arms["int8"] = timed(
-        lambda: ev_q.evaluate_voc(qparams, val_ds, use_crf=False)
-    )
-    print("int8:", arms["int8"], flush=True)
 
-    arms["crf_host"] = timed(
-        lambda: ev.evaluate_voc(params, val_ds, use_crf=True)
-    )
-    print("crf_host:", arms["crf_host"], flush=True)
-
-    cfg_tpu = cfg.replace(
-        eval=dataclasses.replace(cfg.eval, crf_impl="tpu")
-    )
+    cfg_tpu = cfg.replace(eval=dataclasses.replace(cfg.eval, crf_impl="tpu"))
     ev_tpu = Evaluator(cfg_tpu, model)
-    arms["crf_tpu"] = timed(
-        lambda: ev_tpu.evaluate_voc(params, val_ds, use_crf=True)
-    )
-    print("crf_tpu:", arms["crf_tpu"], flush=True)
 
-    base = arms["f32"]["miou"]
+    tuned_kw = None
+    if args.tuning and os.path.exists(args.tuning):
+        with open(args.tuning) as f:
+            tuned_kw = json.load(f)["best_setting"]
+        print(f"crf_tuned arm from {args.tuning}: {tuned_kw}", flush=True)
+        ev_tuned = Evaluator(
+            cfg.replace(eval=dataclasses.replace(cfg.eval, **tuned_kw)),
+            model,
+        )
+
+    def timed(fn):
+        t0 = time.time()
+        miou, iou = fn()
+        return {
+            "miou": round(float(miou), 4),
+            "per_class_iou": [round(float(v), 4) for v in iou],
+            "elapsed_sec": round(time.time() - t0, 1),
+        }
+
+    # Measurement streams DISJOINT from every selection set: both
+    # checkpoint sources pick their "best" on the seed-0 val stream, the
+    # CRF tuning selects on seed 555, int8 calibrates on seed 778; the
+    # measured streams are seeds 777 + 1000*k (round-4 review findings).
+    seeds = [777 + 1000 * k for k in range(args.streams)]
+    per_stream = []
+    for seed in seeds:
+        val_ds = LearnableSyntheticVOC(n=args.val_images, num_classes=4,
+                                       seed=seed, category="val",
+                                       image_size=size)
+        arms = {}
+        arms["f32"] = timed(
+            lambda: ev.evaluate_voc(params, val_ds, use_crf=False)
+        )
+        arms["int8"] = timed(
+            lambda: ev_q.evaluate_voc(qparams, val_ds, use_crf=False)
+        )
+        arms["crf_host"] = timed(
+            lambda: ev.evaluate_voc(params, val_ds, use_crf=True)
+        )
+        arms["crf_tpu"] = timed(
+            lambda: ev_tpu.evaluate_voc(params, val_ds, use_crf=True)
+        )
+        if tuned_kw is not None:
+            arms["crf_tuned"] = timed(
+                lambda: ev_tuned.evaluate_voc(params, val_ds, use_crf=True)
+            )
+        base = arms["f32"]["miou"]
+        deltas = {k: round(arms[k]["miou"] - base, 4)
+                  for k in arms if k != "f32"}
+        per_stream.append({"seed": seed, "arms": arms, "deltas": deltas})
+        print(f"stream seed={seed}: f32={base:.4f} deltas={deltas}",
+              flush=True)
+
+    arm_names = [k for k in per_stream[0]["arms"] if k != "f32"]
+    delta_stats = {
+        k: _interval([s["deltas"][k] for s in per_stream])
+        for k in arm_names
+    }
+    f32_stats = _interval([s["arms"]["f32"]["miou"] for s in per_stream])
+
+    first = per_stream[0]
     result = {
         "task": "accuracy-cost on a TRAINED checkpoint "
-                "(LearnableSyntheticVOC val, exact VOC protocol)",
+                "(LearnableSyntheticVOC val, exact VOC protocol, "
+                f"{args.streams} disjoint streams)",
         "checkpoint": {"dir": ckpt_dir, "tag": tag},
         "val_images": args.val_images,
         "input_size": size,
-        "arms": arms,
-        "deltas_vs_f32": {
-            k: round(arms[k]["miou"] - base, 4)
-            for k in ("int8", "crf_host", "crf_tpu")
-        },
+        "streams": args.streams,
+        "seeds": seeds,
+        # round-4 schema: the first (seed-777) stream stays at the top
+        # level so downstream readers keep working
+        "arms": first["arms"],
+        "deltas_vs_f32": first["deltas"],
+        "per_stream": per_stream,
+        "f32_miou_stats": f32_stats,
+        "delta_stats": delta_stats,
         "platform": jax.devices()[0].platform,
     }
-    # Contracts: the trained baseline is a real model (well above the
-    # ~0.19 all-background floor); int8 PTQ costs at most 2 mIoU points
-    # of the baseline; both CRF impls agree with each other closely
+    # Contracts: the trained baseline is a real model on EVERY stream
+    # (well above the ~0.19 all-background floor); the MEAN int8 PTQ cost
+    # is at most 2 mIoU points; both CRF impls agree on the same streams
     # (same algorithm, 1-ulp grid differences) whatever their sign vs
     # the baseline — the CRF-helps question is reported, not assumed.
     result["pass"] = bool(
-        base >= 0.30
-        and result["deltas_vs_f32"]["int8"] >= -0.02
-        and abs(arms["crf_host"]["miou"] - arms["crf_tpu"]["miou"]) <= 0.01
+        min(f32_stats["values"]) >= 0.30
+        and delta_stats["int8"]["mean"] >= -0.02
+        and all(
+            abs(s["arms"]["crf_host"]["miou"] - s["arms"]["crf_tpu"]["miou"])
+            <= 0.01
+            for s in per_stream
+        )
     )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({k: v for k, v in result.items() if k != "arms"},
-                     indent=1))
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("arms", "per_stream")}, indent=1))
     return 0 if result["pass"] else 1
 
 

@@ -134,6 +134,7 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                   dropout_keep_prob: float = 0.5, random_scale: bool = False,
                   refine_steps: int = 500, estep_method: str = "adaptive",
                   fixed_bg_bias: float = 3.0, fixed_fg_bias: float = 5.0,
+                  fixed_bias_units: str = "logit",
                   tag_warmup: int = 0, tag_warmup_pool_r: float = 4.0,
                   tag_warmup_lr: float | None = None,
                   warm_start_dir: str | None = None,
@@ -207,7 +208,8 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
                           bg_p=0.4, fg_p=0.2,
                           suppress_others=suppress_others,
                           fixed_bg_bias=fixed_bg_bias,
-                          fixed_fg_bias=fixed_fg_bias),
+                          fixed_fg_bias=fixed_fg_bias,
+                          fixed_bias_units=fixed_bias_units),
         optim=OptimConfig(base_lr=base_lr, accum_steps=1,
                           lr_schedule=schedule),
         data=DataConfig(input_size=(size, size), num_workers=2,
@@ -372,6 +374,9 @@ def run_rehearsal(steps: int = 2500, seed: int = 0, size: int = 129,
         "suppress_others": suppress_others,
         "fixed_biases": (
             [fixed_bg_bias, fixed_fg_bias] if estep_method == "fixed" else None
+        ),
+        "fixed_bias_units": (
+            fixed_bias_units if estep_method == "fixed" else None
         ),
         "lr_drop_epoch": lr_drop_epoch,
         "base_lr": base_lr,
@@ -617,10 +622,32 @@ def main(argv=None) -> int:
                 log=lambda m, b=(bg_b, fg_b): print(f"[warm bias {b}] {m}",
                                                     flush=True))
             warm_runs.append(r)
+        # Phase C (round-4 VERDICT task #6): the control the erosion
+        # mechanism analysis implies. The round-4 finding was that a
+        # constant LOGIT-unit bias loses calibration as the logit spread
+        # grows; fixed_bias_units="spread" re-expresses the biases as
+        # multiples of each image's present-class score STD, so the
+        # effective bias tracks the spread (ops/estep.py::estep_fixed).
+        # Sweep includes symmetric pairs (fg == bg — neutralizing the
+        # fg>bg asymmetry the erosion analysis blames) and the
+        # paper-shaped fg > bg pair at spread scale.
+        spread_sweep = [(0.3, 0.5), (0.5, 0.5), (0.5, 0.3), (1.0, 1.0)]
+        spread_runs = []
+        for bg_k, fg_k in spread_sweep:
+            r = run_rehearsal(
+                steps=800, seed=args.seed,
+                estep_method="fixed", fixed_bg_bias=bg_k, fixed_fg_bias=fg_k,
+                fixed_bias_units="spread",
+                dropout_keep_prob=args.dropout, refine_steps=0,
+                warm_start_dir=prior_dir, base_lr=1e-4,
+                log=lambda m, b=(bg_k, fg_k): print(
+                    f"[warm spread {b}] {m}", flush=True))
+            spread_runs.append(r)
 
         def _summ(r):
             return {
                 "fixed_biases": r["fixed_biases"],
+                "fixed_bias_units": r["fixed_bias_units"],
                 "peak_miou": r["peak_miou"],
                 "final_miou": r["final_miou"],
                 "peak_mean_fg_iou": r["peak_mean_fg_iou"],
@@ -639,6 +666,15 @@ def main(argv=None) -> int:
         }
         result["warm_start_sweep"] = [_summ(r) for r in warm_runs]
         result["warm_start_best_final"] = best_warm["final_miou"]
+        best_spread = max(spread_runs, key=lambda r: r["final_miou"])
+        result["warm_spread_sweep"] = [_summ(r) for r in spread_runs]
+        result["warm_spread_best_final"] = best_spread["final_miou"]
+        # Same retention criterion as the logit-unit probe: final (not
+        # peak) clearly above the all-background floor and within reach
+        # of the restored prior.
+        result["warm_spread_retains"] = bool(
+            best_spread["final_miou"] >= max(0.23, prior_best - 0.08)
+        )
         # The verdict is judged on the FINAL state, not the peak: the
         # first post-warm-start eval still reflects the restored prior,
         # so a peak criterion would call any slow erosion a "retention".

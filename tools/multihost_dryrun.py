@@ -206,15 +206,36 @@ def _launch_once(
                 sent = True
             else:
                 time.sleep(0.2)
-    failed = []
-    for pid, p in enumerate(procs):
-        try:
-            rc = p.wait(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            rc = -9
-        if rc != 0:
-            failed.append(pid)
+    # Joint wait with dead-peer detection: when one process dies (e.g.
+    # Gloo's compiled-in 30 s rendezvous deadline starving on this 1-core
+    # host), its peers are left waiting in a collective that can never
+    # complete — a sequential p.wait() would then burn the FULL timeout
+    # before the Gloo-retry classification even runs. Kill the stragglers
+    # after a short grace period instead; the originating process's log
+    # keeps the Gloo signature the retry logic keys on.
+    import time as _time
+
+    deadline = _time.time() + timeout
+    rcs: list[int | None] = [None] * len(procs)
+    first_fail_t: float | None = None
+    while any(r is None for r in rcs):
+        for i, p in enumerate(procs):
+            if rcs[i] is None:
+                rcs[i] = p.poll()
+        if any(r not in (None, 0) for r in rcs):
+            now = _time.time()
+            if first_fail_t is None:
+                first_fail_t = now
+            elif now - first_fail_t > 90:
+                for i, p in enumerate(procs):
+                    if rcs[i] is None:
+                        p.kill()
+        if _time.time() > deadline:
+            for i, p in enumerate(procs):
+                if rcs[i] is None:
+                    p.kill()
+        _time.sleep(1.0)
+    failed = [i for i, r in enumerate(rcs) if r != 0]
     if failed:
         gloo_timeout = False
         for pid in failed:
