@@ -138,3 +138,32 @@ def test_em_lifts_miou_above_chance_live():
     result = run_rehearsal(steps=1500, lr_drop_epoch=None)
     assert result["peak_miou"] >= 0.22, result
     assert result["final_miou"] >= 0.2, result
+
+
+def test_committed_em_fixed_spread_probe():
+    """Round-4 VERDICT task #6: the control the erosion mechanism
+    analysis implies — EM-Fixed with SPREAD-calibrated biases
+    (estep.fixed_bias_units='spread': bias = kappa * per-image
+    present-class score STD) warm-started from the same prior. The
+    probe's outcome is recorded either way; these contracts pin that it
+    RAN (4 kappa pairs incl. symmetric ones that neutralize the fg>bg
+    asymmetry) and that the retention verdict recomputes from the
+    recorded finals."""
+    fixed = os.path.join(REPO, "CONVERGENCE_FIXED.json")
+    assert os.path.exists(fixed)
+    with open(fixed) as f:
+        x = json.load(f)
+    if "warm_spread_sweep" not in x:
+        import pytest
+
+        pytest.skip("pre-round-5 artifact (no spread probe)")
+    sweep = x["warm_spread_sweep"]
+    assert len(sweep) >= 4
+    assert all(a["fixed_bias_units"] == "spread" for a in sweep)
+    assert any(a["fixed_biases"][0] == a["fixed_biases"][1] for a in sweep)
+    best_final = max(a["final_miou"] for a in sweep)
+    assert x["warm_spread_best_final"] == best_final
+    prior = x["prior"]["peak_miou"]
+    assert x["warm_spread_retains"] == (
+        best_final >= max(0.23, prior - 0.08)
+    )
