@@ -60,8 +60,22 @@ def config_hints(cfg: ExperimentConfig, plan: MeshPlan) -> list[str]:
             "warm start from a 0.32 prior: erodes to all-foreground — "
             "CONVERGENCE_FIXED.json). The constant bias loses "
             "calibration as the logit spread grows; "
-            "estep.fixed_bias_units='spread' tracks it instead, and "
+            "estep.fixed_bias_units='spread' with SYMMETRIC biases "
+            "retained the prior (warm_spread arms), and "
             "estep.method='adaptive' is the reference algorithm"
+        )
+    if (cfg.estep.method == "fixed"
+            and cfg.estep.fixed_bias_units == "spread"
+            and cfg.estep.fixed_bg_bias != cfg.estep.fixed_fg_bias):
+        hints.append(
+            "estep.method='fixed' with ASYMMETRIC spread-unit biases "
+            f"(bg {cfg.estep.fixed_bg_bias} != fg "
+            f"{cfg.estep.fixed_fg_bias}): both asymmetric arms of the "
+            "warm-start probe eroded the prior — the larger-biased side "
+            "floods the other's pixels with nothing to stop it "
+            "(CONVERGENCE_FIXED.json warm_spread_sweep; symmetric "
+            "biases retained 0.3055 of a 0.3202 prior). Prefer equal "
+            "bg/fg biases in spread units"
         )
     return hints
 

@@ -1123,11 +1123,19 @@ def test_config_hints_surface_measured_guidance():
         mesh=MeshConfig(axes=(("data", 1),)),
     )
     assert any("CONVERGENCE_FIXED" in h for h in hints(fixed, n=1))
-    # ...silenced by the spread-calibrated units or the adaptive method
-    spread = fixed.replace(
+    # ...silenced by SYMMETRIC spread-calibrated units (the retaining
+    # configuration, CONVERGENCE_FIXED.json warm_spread) or adaptive
+    spread_sym = fixed.replace(
+        estep=EStepConfig(method="fixed", fixed_bias_units="spread",
+                          fixed_bg_bias=0.5, fixed_fg_bias=0.5)
+    )
+    assert not hints(spread_sym, n=1)
+    # ASYMMETRIC spread biases get their own probe-backed hint (both
+    # asymmetric warm arms eroded the prior)
+    spread_asym = fixed.replace(
         estep=EStepConfig(method="fixed", fixed_bias_units="spread")
     )
-    assert not any("CONVERGENCE_FIXED" in h for h in hints(spread, n=1))
+    assert any("ASYMMETRIC" in h for h in hints(spread_asym, n=1))
     assert not hints(
         ExperimentConfig(mesh=MeshConfig(axes=(("data", 1),))), n=1
     )
