@@ -101,3 +101,18 @@ def test_deltas_carry_interval_stats(art):
     # int8 delta must stay above the -2-point bound
     int8 = art["delta_stats"]["int8"]
     assert int8["mean"] - int8["ci95_half"] >= -0.02
+
+
+def test_composed_serving_stack_keeps_the_crf_lift(art):
+    """The FULL optimized serving stack — int8 PTQ forward + domain-tuned
+    CRF — must compose without interference: its delta stays within the
+    int8 cost (~0) of the f32+tuned-CRF arm on every stream, and its
+    mean lift stays positive with the CI excluding zero."""
+    if "delta_stats" not in art or "int8_crf_tuned" not in art["delta_stats"]:
+        pytest.skip("artifact predates the composed arm")
+    combo = art["delta_stats"]["int8_crf_tuned"]
+    assert combo["mean"] > 0
+    assert combo["mean"] - combo["ci95_half"] > 0
+    for s in art["per_stream"]:
+        assert abs(s["deltas"]["int8_crf_tuned"]
+                   - s["deltas"]["crf_tuned"]) <= 0.005, s

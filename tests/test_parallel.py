@@ -333,3 +333,43 @@ def test_mesh_sharded_eval_keeps_tp_sharded_params(rng):
                              pad_remainder=True)
     miou, _ = ev.evaluate_fixed(state.params, batches)
     assert 0.0 <= miou <= 1.0
+
+
+def test_remat_under_spatial_mesh_matches_no_remat(rng):
+    """The tpu-highres preset combines model.remat with space=3
+    (SPATIAL.json recipe; round-5 productization). remat must stay a
+    pure memory/time trade UNDER the spatially-partitioned mesh: one
+    train step with remat on a dp2 x space3 mesh computes the same loss
+    as the non-remat step on the identical mesh, and as the remat step
+    on a dp-only mesh. 33-row input splits 3-way cleanly."""
+    from em_adapt_tpu.train import Trainer
+
+    def run(axes, remat):
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_classes=4, input_size=(33, 33),
+                              fc6_channels=8, remat=remat),
+            estep=EStepConfig(num_iter=2),
+            optim=OptimConfig(accum_steps=1),
+            train=TrainConfig(batch_size=8),
+            mesh=MeshConfig(axes=axes),
+        )
+        n = 1
+        for _, size in axes:
+            n *= size
+        trainer = Trainer(cfg, steps_per_epoch=4,
+                          devices=jax.devices()[:n])
+        state = trainer.init_state()
+        g = np.random.default_rng(7)
+        batch = {
+            "image": g.normal(size=(8, 33, 33, 3)).astype(np.float32),
+            "label": g.integers(0, 4, size=(8, 33, 33, 1)).astype(np.float32),
+        }
+        state, m = trainer.train_step(state, trainer.plan.shard_batch(batch))
+        return float(jax.device_get(m["loss"]))
+
+    sp_axes = (("data", 2), ("space", 3))
+    loss_sp_remat = run(sp_axes, True)
+    loss_sp = run(sp_axes, False)
+    loss_dp_remat = run((("data", 8), ("space", 1)), True)
+    assert loss_sp_remat == pytest.approx(loss_sp, rel=1e-5)
+    assert loss_sp_remat == pytest.approx(loss_dp_remat, rel=1e-5)
