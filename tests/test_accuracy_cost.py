@@ -116,3 +116,19 @@ def test_composed_serving_stack_keeps_the_crf_lift(art):
     for s in art["per_stream"]:
         assert abs(s["deltas"]["int8_crf_tuned"]
                    - s["deltas"]["crf_tuned"]) <= 0.005, s
+
+
+def test_device_crf_delivers_the_tuned_lift(art):
+    """Production serving runs the ON-DEVICE CRF (bilateral grid,
+    0.18 s/img) rather than the host lattice — the domain-tuned lift
+    must survive that approximation swap: positive mean with CI
+    excluding zero, and within the host/device approximation gap of the
+    host-lattice tuned arm on every stream."""
+    if "delta_stats" not in art or "crf_tuned_tpu" not in art["delta_stats"]:
+        pytest.skip("artifact predates the device tuned arm")
+    dev = art["delta_stats"]["crf_tuned_tpu"]
+    assert dev["mean"] > 0
+    assert dev["mean"] - dev["ci95_half"] > 0
+    for s in art["per_stream"]:
+        assert abs(s["deltas"]["crf_tuned_tpu"]
+                   - s["deltas"]["crf_tuned"]) <= 0.02, s

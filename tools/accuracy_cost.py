@@ -158,6 +158,15 @@ def main(argv=None) -> int:
         # would actually run (1.64x serving throughput AND the CRF
         # lift, if the two compose without interference).
         ev_q_tuned = Evaluator(cfg_tuned, qmodel)
+        # ... and the tuned setting through the ON-DEVICE CRF (the
+        # bilateral-grid approximation, eval/crf_tpu.py) — production
+        # serving runs the device path (0.18 s/img vs 1.14 host), so
+        # the lift must survive the lattice->grid approximation swap.
+        ev_tuned_tpu = Evaluator(
+            cfg_tuned.replace(eval=dataclasses.replace(
+                cfg_tuned.eval, crf_impl="tpu")),
+            model,
+        )
 
     def timed(fn):
         t0 = time.time()
@@ -198,6 +207,10 @@ def main(argv=None) -> int:
             arms["int8_crf_tuned"] = timed(
                 lambda: ev_q_tuned.evaluate_voc(qparams, val_ds,
                                                 use_crf=True)
+            )
+            arms["crf_tuned_tpu"] = timed(
+                lambda: ev_tuned_tpu.evaluate_voc(params, val_ds,
+                                                  use_crf=True)
             )
         base = arms["f32"]["miou"]
         deltas = {k: round(arms[k]["miou"] - base, 4)
